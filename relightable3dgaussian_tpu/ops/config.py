@@ -1,0 +1,41 @@
+"""Static rasterizer configuration.
+
+These values are compile-time constants (hashable dataclass) — they set output
+shapes and tile/binning capacities, the TPU replacement for the reference's
+dynamically sized buffers (/root/reference/r3dg-rasterization/cuda_rasterizer/
+rasterizer_impl.cu:199-380 resizes byte buffers per call).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    height: int
+    width: int
+    feature_dim: int = 5          # extra per-gaussian feature channels (S)
+    tile: int = 16                # tile edge in pixels (reference BLOCK 16x16)
+    sh_degree: int = 3            # active SH degree for color
+    # Binning budget: total duplicated (gaussian, tile) pairs kept. Pairs past
+    # the budget are dropped far-to-near after a depth sort; measured overflow
+    # is reported by the rasterizer.
+    buffer_multiple: int = 12     # budget = buffer_multiple * num_points
+    max_tiles_per_gaussian: int = 64   # per-gaussian duplication cap
+    chunk: int = 128              # gaussians blended per compositor step
+    max_chunks_per_tile: int = 64 # per-tile depth complexity cap (chunk*this)
+    bg_depth: float = 0.0
+    scale_modifier: float = 1.0
+    compute_pseudo_normal: bool = True
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
