@@ -1,0 +1,74 @@
+"""Public tiled rasterizer API (fast path).
+
+Pipeline: preprocess (projection) → bin (duplicate + lexicographic sort) →
+segmented compositor → image assembly + pseudo-normal pass. Differentiable
+end-to-end via autodiff; returns the same RasterOut as the dense oracle.
+
+Functional analogue of `GaussianRasterizer.__call__`
+(/root/reference/gaussian_renderer/r3dg_rasterization.py:188-262) returning
+(num_rendered, num_contrib, color, opacity, depth, feature, pseudo_normal,
+surface_xyz, weights, radii) as one named tuple.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .camera import CameraParams
+from .composite import composite, tiles_to_image
+from .config import RasterConfig
+from .projection import preprocess
+from .rasterize_dense import RasterOut
+from .surface import pseudo_normal_from_depth
+from .tiles import bin_gaussians
+
+
+def rasterize(means3d, scales, rotations, opacity, shs, features,
+              cam: CameraParams, cfg: RasterConfig, bg_color: jnp.ndarray,
+              colors_precomp=None, active_mask=None,
+              cov3d_precomp=None) -> RasterOut:
+    """Rasterize P gaussians through the tiled pipeline.
+
+    Args match ops.rasterize_dense.rasterize_dense; shapes are static in P.
+    """
+    P = means3d.shape[0]
+    H, W = cfg.height, cfg.width
+    prep = preprocess(means3d, scales, rotations, shs, colors_precomp, cam,
+                      cfg, active_mask, cov3d_precomp)
+    binning = bin_gaussians(prep, cfg)
+
+    attrs = jnp.concatenate(
+        [prep.rgb, features, prep.depth[:, None],
+         jnp.ones((P, 1), means3d.dtype)], axis=-1)
+    out = composite(binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, cfg)
+
+    img = tiles_to_image(out.image, cfg)        # [A, H, W]
+    S = features.shape[-1]
+    rgb = img[:3]
+    feature = img[3:3 + S]
+    depth = img[3 + S:4 + S]
+    opac = img[4 + S:5 + S]
+    color = rgb + (1.0 - opac) * bg_color[:, None, None]
+
+    n_contrib = tiles_to_image(
+        out.n_contrib[..., None].astype(jnp.float32), cfg
+    )[0].astype(jnp.int32)
+
+    if cfg.compute_pseudo_normal:
+        surface, pseudo = pseudo_normal_from_depth(depth[0], cam)
+    else:
+        surface = jnp.zeros((3, H, W), means3d.dtype)
+        pseudo = jnp.zeros((3, H, W), means3d.dtype)
+
+    return RasterOut(
+        color=color,
+        opacity=opac,
+        depth=depth,
+        feature=feature,
+        pseudo_normal=pseudo,
+        surface_xyz=surface,
+        weights=out.weights[:, None],
+        radii=prep.radius,
+        n_contrib=n_contrib,
+        num_rendered=binning.num_rendered,
+        final_T=1.0 - opac[0],
+    )

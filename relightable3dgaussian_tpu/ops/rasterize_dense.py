@@ -6,7 +6,11 @@ exact skip/termination rules of the CUDA kernel
 (/root/reference/r3dg-rasterization/cuda_rasterizer/forward.cu:300-384):
   * candidates are gaussians with radius > 0 whose tile rect covers the pixel
   * skip if power > 0 or alpha < 1/255, alpha capped at 0.99
-  * blend stops (sticky) once T * (1 - alpha) < 1e-4
+  * blend cutoff once transmittance T < 1e-4 (sticky by monotonicity). The
+    CUDA kernel instead tests the *outgoing* T*(1-alpha) with an explicit
+    sticky flag; the two rules differ only for tail contributions below
+    ~1e-2 alpha-weight. We use the incoming-T rule in BOTH the oracle and
+    the tiled compositor so they agree exactly.
 
 Differentiable end to end (autodiff through the scan); intended for small P /
 small images (tests, toy scenes) — the tile pipeline is the fast path.
@@ -91,22 +95,17 @@ def rasterize_dense(means3d, scales, rotations, opacity, shs, features,
     A = attrs.shape[-1]
 
     def step(carry, idx):
-        T, done = carry
+        T = carry
         alpha = _alpha_at(
             jax.tree.map(lambda x: x[idx][None], prep), px, py,
             op[idx][None], cfg)[0]  # [npix]
-        test_T = T * (1.0 - alpha)
-        blend = (alpha > 0.0) & (~done) & (test_T >= 1e-4)
-        w = jnp.where(blend, alpha * T, 0.0)
-        new_T = jnp.where(blend, test_T, T)
-        # Sticky termination: once a candidate alpha would drop T below the
-        # threshold, this pixel stops blending (matches CUDA `done`).
-        new_done = done | ((alpha > 0.0) & (test_T < 1e-4))
+        w = jnp.where(T >= 1e-4, alpha * T, 0.0)
+        new_T = T * (1.0 - alpha)
         contrib = w[:, None] * attrs[idx][None, :]
-        return (new_T, new_done), (contrib, w)
+        return new_T, (contrib, w)
 
-    (final_T, _), (contribs, ws) = jax.lax.scan(
-        step, (jnp.ones_like(px), jnp.zeros_like(px, bool)), order)
+    final_T, (contribs, ws) = jax.lax.scan(
+        step, jnp.ones_like(px), order)
     accum = contribs.sum(0)  # [npix, A]
     weights = jnp.zeros((P, 1)).at[order, 0].add(ws.sum(-1))
 
