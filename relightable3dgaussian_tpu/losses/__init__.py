@@ -1,0 +1,137 @@
+"""Photometric and smoothness losses.
+
+Re-implements the reference loss toolbox (/root/reference/utils/loss_utils.py)
+in pure jnp: 11x11 gaussian-window SSIM, kornia-style normalized Sobel
+spatial gradients (first and second order), edge-aware smoothness, bilateral
+smoothness and total variation. All functions take channel-first images
+[C, H, W] like the reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# SSIM
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def _depthwise_conv(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """[C, H, W] same-padded depthwise 2D convolution."""
+    c = img.shape[0]
+    k = jnp.asarray(kernel)[None, None]              # [1, 1, kh, kw]
+    k = jnp.tile(k, (c, 1, 1, 1))                    # [C, 1, kh, kw]
+    return jax.lax.conv_general_dilated(
+        img[None], k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c)[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over an image pair ([C, H, W]), gaussian window sigma=1.5."""
+    w = _gaussian_window(window_size)
+    mu1 = _depthwise_conv(img1, w)
+    mu2 = _depthwise_conv(img2, w)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1 = _depthwise_conv(img1 * img1, w) - mu1_sq
+    sigma2 = _depthwise_conv(img2 * img2, w) - mu2_sq
+    sigma12 = _depthwise_conv(img1 * img2, w) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1 + sigma2 + c2))
+    return ssim_map.mean()
+
+
+# ---------------------------------------------------------------------------
+# Spatial gradients (kornia-compatible normalized Sobel)
+# ---------------------------------------------------------------------------
+
+_SOBEL_X = np.array([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]],
+                    np.float32)
+_SOBEL_XX = np.array([[1., -2., 1.], [2., -4., 2.], [1., -2., 1.]],
+                     np.float32)
+_SOBEL_XY = np.array([[-1., 0., 1.], [0., 0., 0.], [1., 0., -1.]],
+                     np.float32)
+
+
+def spatial_gradient(img: jnp.ndarray, order: int = 1,
+                     normalized: bool = True) -> jnp.ndarray:
+    """[C, H, W] → [C, D, H, W] Sobel gradients (D=2 for order 1: gx, gy;
+    D=3 for order 2: gxx, gxy, gyy), matching kornia.filters.spatial_gradient
+    semantics (L1-normalized kernels, same padding)."""
+    if order == 1:
+        kx = _SOBEL_X / 8.0 if normalized else _SOBEL_X
+        kernels = [kx, kx.T]
+    else:
+        kxx = _SOBEL_XX / 16.0 if normalized else _SOBEL_XX
+        kxy = _SOBEL_XY / 4.0 if normalized else _SOBEL_XY
+        kernels = [kxx, kxy, kxx.T]
+    outs = [_depthwise_conv(img, k) for k in kernels]
+    return jnp.stack(outs, axis=1)
+
+
+def first_order_edge_aware_loss(data: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """(|∇data| * exp(-|∇img|)).sum(direction).mean() (loss_utils.py:105)."""
+    gd = jnp.abs(spatial_gradient(data, 1))
+    gi = jnp.abs(spatial_gradient(img, 1))
+    return (gd * jnp.exp(-gi)).sum(1).mean()
+
+
+def second_order_edge_aware_loss(data: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """(|∇²data|_{xx,yy} * exp(-10 |∇img|)).sum(dir).mean() (loss_utils.py:102)."""
+    gd = jnp.abs(spatial_gradient(data, 2))[:, (0, 2)]
+    gi = jnp.abs(spatial_gradient(img, 1))
+    return (gd * jnp.exp(-10.0 * gi)).sum(1).mean()
+
+
+def first_order_edge_aware_norm_loss(data: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    gd = jnp.abs(spatial_gradient(data, 1))
+    gi = jnp.linalg.norm(spatial_gradient(img, 1), axis=0, keepdims=True)
+    return (gd * jnp.exp(-gi)).sum(1).mean()
+
+
+def first_order_loss(data: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(spatial_gradient(data, 1)).sum(1).mean()
+
+
+def _unnormalized_grad_mag(data: jnp.ndarray) -> jnp.ndarray:
+    """|gx| + |gy| with unnormalized Sobel (loss_utils.py cal_gradient)."""
+    gx = _depthwise_conv(data, _SOBEL_X)
+    gy = _depthwise_conv(data, _SOBEL_X.T)
+    return jnp.abs(gx) + jnp.abs(gy)
+
+
+def bilateral_smooth_loss(data: jnp.ndarray, image: jnp.ndarray,
+                          mask: jnp.ndarray) -> jnp.ndarray:
+    rgb_grad = _unnormalized_grad_mag(image.mean(0, keepdims=True))
+    data_grad = _unnormalized_grad_mag(data.mean(0, keepdims=True))
+    return (data_grad * jnp.exp(-rgb_grad) * mask).mean()
+
+
+def tv_loss(x: jnp.ndarray) -> jnp.ndarray:
+    """Squared total variation over the last two dims (loss_utils.py:113)."""
+    h_tv = jnp.square(x[..., 1:, :] - x[..., :-1, :]).mean()
+    w_tv = jnp.square(x[..., :, 1:] - x[..., :, :-1]).mean()
+    return h_tv + w_tv
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(a - b).mean()
+
+
+def mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return ((a - b) ** 2).mean()
+
+
+def mask_entropy_loss(opacity: jnp.ndarray, image_mask: jnp.ndarray) -> jnp.ndarray:
+    """Binary cross-entropy pushing rendered opacity toward the mask."""
+    o = jnp.clip(opacity, 1e-6, 1 - 1e-6)
+    return -(image_mask * jnp.log(o)
+             + (1 - image_mask) * jnp.log(1 - o)).mean()

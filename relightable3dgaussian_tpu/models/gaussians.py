@@ -1,0 +1,435 @@
+"""Gaussian scene state: parameter pytrees, activations, adaptive density.
+
+TPU-native re-design of the reference `GaussianModel`
+(/root/reference/scene/gaussian_model.py:30-937). Key differences:
+
+  * Parameters live in fixed-CAPACITY padded arrays with an `active` mask —
+    densify/prune/reset are pure jitted functions over static shapes instead
+    of tensor resizing + optimizer-state surgery. Surviving points never move
+    slots; new points fill free slots, so Adam-moment "surgery" reduces to
+    masked zeroing of changed slots (cf. reference cat/prune optimizer
+    rebuild, gaussian_model.py:667-750).
+  * Activations are free functions of the raw parameter pytree (reference
+    gaussian_model.py:32-53): exp(scaling), sigmoid(opacity), normalized
+    quaternion/normal, sigmoid*0.77+0.03 base color, sigmoid*0.9+0.09
+    roughness.
+  * The split sampling (N=2 from the gaussian's own covariance), clone, and
+    prune criteria mirror gaussian_model.py:798-929 including the
+    normal-gradient-driven densification and the accumulated-blend-weight
+    prune.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.knn import mean_sq_dist_to_3nn
+from ..utils.quaternions import (inverse_sigmoid, normalize_quaternion,
+                                 quaternion_multiply, quaternion_to_rotmat,
+                                 rotmat_to_quaternion)
+from ..utils.sh import rgb_to_sh
+
+MAX_SH_DEGREE = 3
+N_SH = (MAX_SH_DEGREE + 1) ** 2  # 16
+
+
+@struct.dataclass
+class GaussianParams:
+    """Raw (pre-activation) learnable parameters, padded to capacity."""
+    xyz: jnp.ndarray            # [P, 3]
+    normal: jnp.ndarray         # [P, 3]
+    shs_dc: jnp.ndarray         # [P, 1, 3]
+    shs_rest: jnp.ndarray       # [P, N_SH-1, 3]
+    scaling: jnp.ndarray        # [P, 3] (log-scale)
+    rotation: jnp.ndarray       # [P, 4] (unnormalized quaternion)
+    opacity: jnp.ndarray        # [P, 1] (logit)
+    # PBR (stage 2) — zero-size arrays when unused so the pytree is uniform.
+    base_color: jnp.ndarray     # [P, 3] (logit)
+    roughness: jnp.ndarray      # [P, 1] (logit)
+    incidents_dc: jnp.ndarray   # [P, 1, 3]
+    incidents_rest: jnp.ndarray  # [P, N_SH-1, 3]
+    visibility_dc: jnp.ndarray  # [P, 1, 1]
+    visibility_rest: jnp.ndarray  # [P, 15, 1]
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+
+@struct.dataclass
+class GaussianAux:
+    """Non-learnable training state (densification statistics)."""
+    active: jnp.ndarray             # [P] bool
+    max_radii2d: jnp.ndarray        # [P] f32
+    xyz_grad_accum: jnp.ndarray     # [P] f32
+    normal_grad_accum: jnp.ndarray  # [P] f32
+    denom: jnp.ndarray              # [P] f32
+    weights_accum: jnp.ndarray      # [P] f32
+
+
+class DensifyStats(NamedTuple):
+    n_cloned: jnp.ndarray
+    n_split: jnp.ndarray
+    n_pruned: jnp.ndarray
+    n_active: jnp.ndarray
+    n_dropped: jnp.ndarray  # new points that didn't fit in capacity
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def get_scaling(p: GaussianParams) -> jnp.ndarray:
+    return jnp.exp(p.scaling)
+
+
+def get_opacity(p: GaussianParams) -> jnp.ndarray:
+    return jax.nn.sigmoid(p.opacity)
+
+
+def get_rotation(p: GaussianParams) -> jnp.ndarray:
+    return normalize_quaternion(p.rotation)
+
+
+def get_normal(p: GaussianParams) -> jnp.ndarray:
+    n = p.normal
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-3)
+
+
+def get_shs(p: GaussianParams) -> jnp.ndarray:
+    """[P, N_SH, 3] concatenated SH coefficients."""
+    return jnp.concatenate([p.shs_dc, p.shs_rest], axis=1)
+
+
+def get_base_color(p: GaussianParams) -> jnp.ndarray:
+    return jax.nn.sigmoid(p.base_color) * 0.77 + 0.03
+
+
+def get_roughness(p: GaussianParams) -> jnp.ndarray:
+    return jax.nn.sigmoid(p.roughness) * 0.9 + 0.09
+
+
+def get_incidents(p: GaussianParams) -> jnp.ndarray:
+    return jnp.concatenate([p.incidents_dc, p.incidents_rest], axis=1)
+
+
+def get_visibility_shs(p: GaussianParams) -> jnp.ndarray:
+    return jnp.concatenate([p.visibility_dc, p.visibility_rest], axis=1)
+
+
+def inverse_roughness(y: jnp.ndarray) -> jnp.ndarray:
+    return inverse_sigmoid((y - 0.09) / 0.9)
+
+
+# ---------------------------------------------------------------------------
+# Creation
+# ---------------------------------------------------------------------------
+
+def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray,
+                    normals: jnp.ndarray, capacity: int,
+                    use_pbr: bool = False) -> tuple[GaussianParams, GaussianAux]:
+    """Initialize gaussians from an SfM point cloud, padded to `capacity`.
+
+    Mirrors gaussian_model.py:416-456: per-point scale from the mean squared
+    3-NN distance, opacity 0.1, identity rotation, DC-only SH from colors.
+    """
+    n = points.shape[0]
+    assert capacity >= n, (capacity, n)
+    dist2 = jnp.maximum(mean_sq_dist_to_3nn(points), 1e-7)
+    scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
+
+    def pad(x, fill=0.0):
+        shape = (capacity - n,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
+
+    rot = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    norm_safe = jnp.where(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True) < 1e-6,
+        jnp.array([0.0, 0.0, 1.0]), normals)
+    params = GaussianParams(
+        xyz=pad(points),
+        normal=pad(norm_safe),
+        shs_dc=pad(rgb_to_sh(colors)[:, None, :]),
+        shs_rest=jnp.zeros((capacity, N_SH - 1, 3)),
+        scaling=pad(scales, fill=-10.0),
+        rotation=pad(rot).at[n:, 0].set(1.0),
+        opacity=pad(inverse_sigmoid(0.1 * jnp.ones((n, 1)))),
+        **_pbr_fields(capacity, use_pbr),
+    )
+    aux = init_aux(capacity, n)
+    return params, aux
+
+
+def _pbr_fields(capacity: int, use_pbr: bool) -> dict[str, jnp.ndarray]:
+    p = capacity if use_pbr else 0
+    return dict(
+        base_color=jnp.zeros((p, 3)),
+        roughness=jnp.zeros((p, 1)),
+        incidents_dc=jnp.zeros((p, 1, 3)),
+        incidents_rest=jnp.zeros((p, N_SH - 1, 3)),
+        visibility_dc=jnp.zeros((p, 1, 1)),
+        visibility_rest=jnp.zeros((p, 15, 1)),
+    )
+
+
+def init_aux(capacity: int, n_active: int) -> GaussianAux:
+    return GaussianAux(
+        active=jnp.arange(capacity) < n_active,
+        max_radii2d=jnp.zeros((capacity,)),
+        xyz_grad_accum=jnp.zeros((capacity,)),
+        normal_grad_accum=jnp.zeros((capacity,)),
+        denom=jnp.zeros((capacity,)),
+        weights_accum=jnp.zeros((capacity,)),
+    )
+
+
+def add_pbr_params(p: GaussianParams) -> GaussianParams:
+    """Bootstrap stage-2: synthesize zero PBR params for a stage-1 model
+    (mirrors gaussian_model.py:389-405)."""
+    if p.base_color.shape[0] == p.capacity:
+        return p
+    return p.replace(**_pbr_fields(p.capacity, True))
+
+
+def n_active(aux: GaussianAux) -> jnp.ndarray:
+    return aux.active.sum()
+
+
+# ---------------------------------------------------------------------------
+# Densification statistics
+# ---------------------------------------------------------------------------
+
+def add_densification_stats(aux: GaussianAux, mean2d_grad: jnp.ndarray,
+                            normal_grad: jnp.ndarray, weights: jnp.ndarray,
+                            radii: jnp.ndarray) -> GaussianAux:
+    """Accumulate per-step stats (gaussian_model.py:931-937 + train.py:158-161).
+
+    Args:
+      mean2d_grad: [P, 2] d(loss)/d(pixel-space mean).
+      normal_grad: [P, 3] d(loss)/d(raw normal).
+      weights: [P] per-gaussian accumulated blend weight from the rasterizer.
+      radii: [P] screen radii (0 = invisible this view).
+    """
+    visible = radii > 0
+    vis_f = visible.astype(jnp.float32)
+    return aux.replace(
+        weights_accum=aux.weights_accum + weights,
+        xyz_grad_accum=aux.xyz_grad_accum
+        + vis_f * jnp.linalg.norm(mean2d_grad, axis=-1),
+        normal_grad_accum=aux.normal_grad_accum
+        + vis_f * jnp.linalg.norm(normal_grad, axis=-1),
+        denom=aux.denom + vis_f,
+        max_radii2d=jnp.maximum(aux.max_radii2d,
+                                jnp.where(visible, radii.astype(jnp.float32),
+                                          0.0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Densify / prune (pure, jittable, capacity-stable)
+# ---------------------------------------------------------------------------
+
+def densify_and_prune(params: GaussianParams, aux: GaussianAux,
+                      opt_moments: tuple[Any, Any], key: jax.Array, *,
+                      grad_threshold, grad_normal_threshold,
+                      min_opacity: float, extent: float,
+                      max_screen_size, percent_dense: float,
+                      weights_threshold: float = 1e-4, n_split: int = 2):
+    """One adaptive-density step: clone + split + prune in a single pass.
+
+    Mirrors gaussian_model.py:890-929 semantics on padded arrays. Surviving
+    points keep their slots; clones/split-children scatter into free slots
+    (capacity overflow drops lowest-index candidates and is reported).
+
+    Args:
+      opt_moments: (mu, nu) pytrees shaped like `params` (Adam state leaves);
+        moments of freed/assigned slots are zeroed.
+    Returns:
+      (params, aux, opt_moments, DensifyStats)
+    """
+    P = params.capacity
+    act = aux.active
+    denom_safe = jnp.maximum(aux.denom, 1.0)
+    grads = jnp.where(aux.denom > 0, aux.xyz_grad_accum / denom_safe, 0.0)
+    grads_n = jnp.where(aux.denom > 0, aux.normal_grad_accum / denom_safe, 0.0)
+
+    opac = get_opacity(params)[:, 0]
+    max_scale = get_scaling(params).max(-1)
+
+    prune = act & ((opac < min_opacity) | (aux.weights_accum < weights_threshold))
+    # max_screen_size may be traced; pass jnp.inf to disable (the reference
+    # passes None before iteration 3000, train.py:167).
+    prune = prune | (act & ((aux.max_radii2d > max_screen_size)
+                            | ((max_scale > 0.1 * extent)
+                               & (max_screen_size < jnp.inf))))
+
+    sel = (grads >= grad_threshold) | (grads_n >= grad_normal_threshold)
+    sel = sel & act & ~prune
+    clone = sel & (max_scale <= percent_dense * extent)
+    split = sel & (max_scale > percent_dense * extent)
+
+    keep = act & ~prune & ~split
+    n_cloned = clone.sum()
+    n_splits = split.sum()
+
+    # Rank free slots: argsort(keep) lists keep=False slots first.
+    free_slots = jnp.argsort(keep)            # [P]
+    n_free = P - keep.sum()
+
+    clone_rank = jnp.cumsum(clone) - 1
+    split_rank = jnp.cumsum(split) - 1
+    total_new = n_cloned + n_split * n_splits
+
+    def dest_for(rank, valid):
+        ok = valid & (rank < n_free)
+        return jnp.where(ok, free_slots[jnp.clip(rank, 0, P - 1)], P)
+
+    clone_dest = dest_for(clone_rank, clone)
+
+    # Split children: sample from the gaussian's own covariance.
+    scales_act = get_scaling(params)
+    rot_mats = quaternion_to_rotmat(get_rotation(params))
+    new_scaling_raw = jnp.log(jnp.maximum(scales_act / (0.8 * n_split), 1e-10))
+
+    # Start from current params; deactivate non-keep slots implicitly via aux.
+    new_params = params
+    mu, nu = opt_moments
+
+    changed = jnp.zeros((P,), bool)
+
+    def scatter_rows(target, dest, overrides):
+        """target[dest[i]] = params[i] (or override[i]) for dest[i] < P.
+
+        Sources are always read from the ORIGINAL `params`, never from the
+        partially updated target — destinations (free slots) can alias
+        other new points' source slots (e.g. split originals).
+        """
+        def one(tgt_leaf, src_leaf, override):
+            if tgt_leaf.shape[0] != P:  # empty pbr leaves
+                return tgt_leaf
+            src = override if override is not None else src_leaf
+            return tgt_leaf.at[dest].set(src, mode="drop")
+        flat_over = {k: overrides.get(k) for k in
+                     GaussianParams.__dataclass_fields__}
+        return GaussianParams(**{
+            k: one(getattr(target, k), getattr(params, k), flat_over[k])
+            for k in GaussianParams.__dataclass_fields__})
+
+    # 1) Clones: exact copies.
+    new_params = scatter_rows(new_params, clone_dest, {})
+    changed = changed.at[clone_dest].set(True, mode="drop")
+
+    # 2) Split children (n_split copies with resampled xyz, shrunk scale).
+    for j in range(n_split):
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, (P, 3)) * scales_act
+        child_xyz = params.xyz + jnp.einsum("pij,pj->pi", rot_mats, noise)
+        rank = n_cloned + n_split * split_rank + j
+        dest = dest_for(rank, split)
+        new_params = scatter_rows(
+            new_params, dest, {"xyz": child_xyz, "scaling": new_scaling_raw})
+        changed = changed.at[dest].set(True, mode="drop")
+
+    # Freed slots (pruned/split originals) also count as changed so their
+    # Adam moments don't leak into future occupants.
+    changed = changed | (act & ~keep)
+
+    def zero_changed(tree):
+        return jax.tree.map(
+            lambda leaf: jnp.where(
+                changed.reshape((-1,) + (1,) * (leaf.ndim - 1)), 0.0, leaf)
+            if leaf.ndim >= 1 and leaf.shape[0] == P else leaf, tree)
+
+    mu, nu = zero_changed(mu), zero_changed(nu)
+
+    # Activity: survivors + successfully placed new points.
+    placed = jnp.zeros((P,), bool).at[clone_dest].set(True, mode="drop")
+    for j in range(n_split):
+        rank = n_cloned + n_split * split_rank + j
+        placed = placed.at[dest_for(rank, split)].set(True, mode="drop")
+    new_active = keep | placed
+
+    stats = DensifyStats(
+        n_cloned=n_cloned,
+        n_split=n_splits,
+        n_pruned=prune.sum(),
+        n_active=new_active.sum(),
+        n_dropped=jnp.maximum(total_new - n_free, 0),
+    )
+    new_aux = GaussianAux(
+        active=new_active,
+        max_radii2d=jnp.zeros((P,)),
+        xyz_grad_accum=jnp.zeros((P,)),
+        normal_grad_accum=jnp.zeros((P,)),
+        denom=jnp.zeros((P,)),
+        weights_accum=jnp.zeros((P,)),
+    )
+    return new_params, new_aux, (mu, nu), stats
+
+
+def prune_only(params: GaussianParams, aux: GaussianAux,
+               opt_moments: tuple[Any, Any], *, min_opacity: float,
+               extent: float, max_screen_size: float | None,
+               weights_threshold: float = 1e-4):
+    """Prune without densifying (gaussian_model.py:890-907 `prune`)."""
+    act = aux.active
+    opac = get_opacity(params)[:, 0]
+    max_scale = get_scaling(params).max(-1)
+    prune = act & ((opac < min_opacity) | (aux.weights_accum < weights_threshold))
+    prune = prune | (act & ((aux.max_radii2d > max_screen_size)
+                            | ((max_scale > 0.1 * extent)
+                               & (max_screen_size < jnp.inf))))
+    keep = act & ~prune
+    P = params.capacity
+
+    def zero_pruned(tree):
+        return jax.tree.map(
+            lambda leaf: jnp.where(
+                prune.reshape((-1,) + (1,) * (leaf.ndim - 1)), 0.0, leaf)
+            if leaf.ndim >= 1 and leaf.shape[0] == P else leaf, tree)
+
+    mu, nu = opt_moments
+    new_aux = aux.replace(active=keep,
+                          weights_accum=jnp.zeros_like(aux.weights_accum))
+    return params, new_aux, (zero_pruned(mu), zero_pruned(nu)), prune.sum()
+
+
+def reset_opacity(params: GaussianParams, opt_moments: tuple[Any, Any]):
+    """Clamp opacities to <= 0.01 and clear their Adam moments
+    (gaussian_model.py:563-566 + replace_tensor_to_optimizer)."""
+    new_op = inverse_sigmoid(jnp.minimum(get_opacity(params), 0.01))
+    mu, nu = opt_moments
+    mu = mu.replace(opacity=jnp.zeros_like(mu.opacity))
+    nu = nu.replace(opacity=jnp.zeros_like(nu.opacity))
+    return params.replace(opacity=new_op), (mu, nu)
+
+
+# ---------------------------------------------------------------------------
+# Composition / transforms (host-side utilities for relighting)
+# ---------------------------------------------------------------------------
+
+def set_transform(params: GaussianParams, transform: jnp.ndarray) -> GaussianParams:
+    """Apply a 4x4 affine transform (rotation+scale+translation) to the cloud
+    (gaussian_model.py:88-112)."""
+    A = transform[:3, :3]
+    scale = jnp.linalg.norm(A, axis=-1)          # per-row scale
+    rot = A / scale[:, None]
+    xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
+    new_xyz = (xyz1 @ transform.T)[:, :3]
+    new_scaling = jnp.log(get_scaling(params) * scale[None, :])
+    new_normal = params.normal @ rot.T
+    rot_q = rotmat_to_quaternion(rot)
+    new_rot = quaternion_multiply(rot_q[None, :], params.rotation)
+    return params.replace(xyz=new_xyz, scaling=new_scaling,
+                          normal=new_normal, rotation=new_rot)
+
+
+def concatenate(models: list[GaussianParams]) -> GaussianParams:
+    """Concatenate multiple clouds (gaussian_model.py:344-356
+    `create_from_gaussians`) — used by scene composition."""
+    def cat(*leaves):
+        return jnp.concatenate(leaves, axis=0)
+    return jax.tree.map(cat, *models)

@@ -27,6 +27,7 @@ class RasterConfig:
     bg_depth: float = 0.0
     scale_modifier: float = 1.0
     compute_pseudo_normal: bool = True
+    white_background: bool = False
 
     @property
     def tiles_x(self) -> int:

@@ -74,7 +74,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
                shs: jnp.ndarray | None, colors: jnp.ndarray | None,
                cam: CameraParams, cfg: RasterConfig,
                active_mask: jnp.ndarray | None = None,
-               cov3d_precomp: jnp.ndarray | None = None) -> Preprocessed:
+               cov3d_precomp: jnp.ndarray | None = None,
+               mean2d_offset: jnp.ndarray | None = None) -> Preprocessed:
     """Project all gaussians; culled/inactive gaussians get radius 0."""
     P = means3d.shape[0]
     ones = jnp.ones((P, 1), means3d.dtype)
@@ -112,6 +113,12 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
          ((p_proj[:, 1] + 1.0) * cfg.height - 1.0) * 0.5],
         axis=-1,
     )
+    if mean2d_offset is not None:
+        # Zero-valued auxiliary input whose cotangent is the pixel-space
+        # position gradient — the functional replacement for the reference's
+        # `screenspace_points` dummy tensor (gaussian_renderer/render.py:20-24)
+        # feeding densification statistics.
+        mean2d = mean2d + mean2d_offset
 
     valid = in_frustum & det_ok
     if active_mask is not None:

@@ -25,7 +25,7 @@ from .tiles import bin_gaussians
 def rasterize(means3d, scales, rotations, opacity, shs, features,
               cam: CameraParams, cfg: RasterConfig, bg_color: jnp.ndarray,
               colors_precomp=None, active_mask=None,
-              cov3d_precomp=None) -> RasterOut:
+              cov3d_precomp=None, mean2d_offset=None) -> RasterOut:
     """Rasterize P gaussians through the tiled pipeline.
 
     Args match ops.rasterize_dense.rasterize_dense; shapes are static in P.
@@ -33,7 +33,7 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
     P = means3d.shape[0]
     H, W = cfg.height, cfg.width
     prep = preprocess(means3d, scales, rotations, shs, colors_precomp, cam,
-                      cfg, active_mask, cov3d_precomp)
+                      cfg, active_mask, cov3d_precomp, mean2d_offset)
     binning = bin_gaussians(prep, cfg)
 
     attrs = jnp.concatenate(

@@ -1,0 +1,239 @@
+"""End-to-end stage-1 smoke tests on a synthetic toy scene.
+
+The scene is rendered with our own renderer from a ground-truth set of
+gaussians (the reference ships no fixtures; SURVEY.md §4 calls for this
+substitute), then we fit a perturbed model and assert PSNR improves.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from relightable3dgaussian_tpu.models import gaussians as G
+from relightable3dgaussian_tpu.models.render import ViewInputs, render
+from relightable3dgaussian_tpu.ops import RasterConfig, make_camera_params
+from relightable3dgaussian_tpu.train.config import OptimizationConfig
+from relightable3dgaussian_tpu.train.optim import init_adam
+from relightable3dgaussian_tpu.train.stage1 import (densify_step,
+                                                    reset_opacity_step,
+                                                    run_training_schedule,
+                                                    train_step)
+from relightable3dgaussian_tpu.utils.sh import rgb_to_sh
+
+CFG = RasterConfig(height=48, width=48, feature_dim=5, sh_degree=0,
+                   buffer_multiple=16, max_tiles_per_gaussian=9,
+                   chunk=32, max_chunks_per_tile=16)
+
+
+def make_cameras(n=6, dist=4.0):
+    cams = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        # Camera orbiting the origin in the xz plane, looking at the center.
+        fwd = -np.array([np.sin(ang), 0.0, np.cos(ang)])
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(fwd, right)
+        R = np.stack([right, true_up, fwd], axis=1)  # camera-to-world
+        center = -fwd * dist
+        T = -R.T @ center
+        cams.append(make_camera_params(R, T, 48, 48, fovx=0.8, fovy=0.8))
+    return cams
+
+
+def gt_scene(key, n=60):
+    ks = jax.random.split(key, 4)
+    pts = jax.random.uniform(ks[0], (n, 3), minval=-0.8, maxval=0.8)
+    colors = jax.random.uniform(ks[1], (n, 3), minval=0.1, maxval=0.9)
+    params = G.GaussianParams(
+        xyz=pts,
+        normal=jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1)),
+        shs_dc=rgb_to_sh(colors)[:, None, :],
+        shs_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.full((n, 3), np.log(0.12)),
+        rotation=jnp.zeros((n, 4)).at[:, 0].set(1.0),
+        opacity=jnp.full((n, 1), 2.0),
+        **{k: jnp.zeros((0,) + s) for k, s in [
+            ("base_color", (3,)), ("roughness", (1,)),
+            ("incidents_dc", (1, 3)), ("incidents_rest", (15, 3)),
+            ("visibility_dc", (1, 1)), ("visibility_rest", (15, 1))]},
+    )
+    return params
+
+
+def render_gt_views(params, cams):
+    active = jnp.ones((params.capacity,), bool)
+    bg = jnp.zeros(3)
+    views = []
+    for cam in cams:
+        res = render_plain(params, active, cam)
+        views.append(ViewInputs(
+            cam=cam, image=res["render"],
+            image_mask=(res["opacity"] > 0.5).astype(jnp.float32),
+            depth=jnp.zeros((1, 48, 48)), normal=jnp.zeros((3, 48, 48))))
+    return views
+
+
+def render_plain(params, active, cam):
+    return render(ViewInputs(cam=cam, image=jnp.zeros((3, 48, 48)),
+                             image_mask=jnp.ones((1, 48, 48)),
+                             depth=jnp.zeros((1, 48, 48)),
+                             normal=jnp.zeros((3, 48, 48))),
+                  params, active, CFG, jnp.zeros(3))
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        key = jax.random.PRNGKey(0)
+        gt = gt_scene(key)
+        cams = make_cameras()
+        views = render_gt_views(gt, cams)
+
+        # Perturbed init, padded to capacity 128.
+        cap = 128
+        k2 = jax.random.PRNGKey(1)
+        noisy_pts = gt.xyz + jax.random.normal(k2, gt.xyz.shape) * 0.05
+        params, aux = G.create_from_pcd(
+            noisy_pts, jnp.full((60, 3), 0.5),
+            jnp.tile(jnp.array([0.0, 0, 1.0]), (60, 1)), capacity=cap)
+        opt_state = init_adam(params)
+        opt = OptimizationConfig(iterations=150, densify_from_iter=40,
+                                 densify_until_iter=120,
+                                 densification_interval=50,
+                                 opacity_reset_interval=100000,
+                                 position_lr_max_steps=150,
+                                 lambda_normal_render_depth=0.01,
+                                 lambda_normal_smooth=0.01)
+
+        first_psnr, last_psnr = [], []
+
+        def cb(it, metrics):
+            p = float(metrics["psnr"])
+            if it <= 10:
+                first_psnr.append(p)
+            if it > 140:
+                last_psnr.append(p)
+
+        params, aux, opt_state = run_training_schedule(
+            params, aux, opt_state, views, cfg=CFG, opt=opt,
+            spatial_lr_scale=1.0, extent=2.0, key=jax.random.PRNGKey(2),
+            callback=cb)
+        assert np.mean(last_psnr) > np.mean(first_psnr) + 2.0, (
+            np.mean(first_psnr), np.mean(last_psnr))
+        assert np.mean(last_psnr) > 18.0
+
+    def test_metrics_finite(self):
+        gt = gt_scene(jax.random.PRNGKey(3), n=20)
+        cams = make_cameras(2)
+        views = render_gt_views(gt, cams)
+        params, aux = G.create_from_pcd(
+            gt.xyz, jnp.full((20, 3), 0.5),
+            jnp.tile(jnp.array([0.0, 0, 1.0]), (20, 1)), capacity=32)
+        opt_state = init_adam(params)
+        opt = OptimizationConfig()
+        params, aux, opt_state, metrics = train_step(
+            params, aux, opt_state, views[0], jnp.asarray(1),
+            jax.random.PRNGKey(0), cfg=CFG, opt=opt, spatial_lr_scale=1.0)
+        for k, v in metrics.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        # Densification stats accumulated.
+        assert float(metrics["psnr"]) > 5.0
+        assert float(jnp.asarray(aux.denom).max()) >= 1.0
+        assert float(jnp.asarray(aux.weights_accum).max()) > 0.0
+
+
+class TestDensify:
+    def _setup(self, cap=64, n=20):
+        gt = gt_scene(jax.random.PRNGKey(4), n=n)
+        params, aux = G.create_from_pcd(
+            gt.xyz, jnp.full((n, 3), 0.5),
+            jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1)), capacity=cap)
+        return params, aux, init_adam(params)
+
+    def test_clone_on_high_grad(self):
+        params, aux, opt_state = self._setup()
+        # Fake stats: large positional gradient on points 0-4, small scale.
+        aux = aux.replace(
+            xyz_grad_accum=aux.xyz_grad_accum.at[:5].set(10.0),
+            denom=aux.denom + 1.0,
+            weights_accum=aux.weights_accum + 1.0)
+        opt = OptimizationConfig()
+        n_before = int(aux.active.sum())
+        # extent large enough that percent_dense * extent exceeds the
+        # auto-initialized scales (~0.5), making these clones, not splits.
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(5000.0),
+            opt=opt)
+        assert int(stats.n_cloned) == 5
+        assert int(aux.active.sum()) == n_before + 5
+
+    def test_split_on_large_scale(self):
+        params, aux, opt_state = self._setup()
+        params = params.replace(scaling=params.scaling.at[:3].set(np.log(0.5)))
+        aux = aux.replace(
+            xyz_grad_accum=aux.xyz_grad_accum.at[:3].set(10.0),
+            denom=aux.denom + 1.0,
+            weights_accum=aux.weights_accum + 1.0)
+        opt = OptimizationConfig(percent_dense=0.001)
+        n_before = int(aux.active.sum())
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(1.0),
+            opt=opt)
+        assert int(stats.n_split) == 3
+        # split originals pruned, 2 children each
+        assert int(aux.active.sum()) == n_before - 3 + 6
+        # Freed original slots are reused by children immediately;
+        # 6 children carry the shrunk scale 0.5 / (0.8 * 2) = 0.3125.
+        scales = np.asarray(G.get_scaling(params))
+        n_children = (np.abs(scales[:, 0] - 0.3125) < 1e-4).sum()
+        assert n_children >= 6
+
+    def test_prune_low_opacity(self):
+        params, aux, opt_state = self._setup()
+        params = params.replace(opacity=params.opacity.at[:4].set(-10.0))
+        aux = aux.replace(weights_accum=aux.weights_accum + 1.0)
+        opt = OptimizationConfig()
+        n_before = int(aux.active.sum())
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(100.0),
+            opt=opt)
+        assert int(stats.n_pruned) == 4
+        assert int(aux.active.sum()) == n_before - 4
+
+    def test_prune_zeroes_moments(self):
+        params, aux, opt_state = self._setup()
+        mu = jax.tree.map(lambda x: x + 1.0, opt_state.mu)
+        opt_state = opt_state.replace(mu=mu)
+        params = params.replace(opacity=params.opacity.at[:4].set(-10.0))
+        aux = aux.replace(weights_accum=aux.weights_accum + 1.0)
+        opt = OptimizationConfig()
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(100.0),
+            opt=opt)
+        assert float(jnp.abs(opt_state.mu.xyz[:4]).max()) == 0.0
+        # untouched survivors keep their moments
+        assert float(jnp.abs(opt_state.mu.xyz[5]).max()) == 1.0
+
+    def test_capacity_overflow_reported(self):
+        params, aux, opt_state = self._setup(cap=21, n=20)
+        aux = aux.replace(
+            xyz_grad_accum=aux.xyz_grad_accum.at[:10].set(10.0),
+            denom=aux.denom + 1.0,
+            weights_accum=aux.weights_accum + 1.0)
+        opt = OptimizationConfig()
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(100.0),
+            opt=opt)
+        assert int(stats.n_dropped) > 0
+        assert int(aux.active.sum()) <= 21
+
+    def test_reset_opacity(self):
+        params, aux, opt_state = self._setup()
+        params, opt_state = reset_opacity_step(params, opt_state)
+        assert float(G.get_opacity(params).max()) <= 0.0101
