@@ -1,0 +1,104 @@
+"""Headline benchmark: 800x800 render FPS on a 100k-gaussian scene.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to 30 FPS — the "real-time on an RTX 3090" claim of
+the reference (readme title; no published numbers exist, BASELINE.md).
+Extra context (train it/s) goes to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from relightable3dgaussian_tpu.models import gaussians as G
+    from relightable3dgaussian_tpu.models.render import ViewInputs, render
+    from relightable3dgaussian_tpu.ops import RasterConfig, make_camera_params
+    from relightable3dgaussian_tpu.train.config import OptimizationConfig
+    from relightable3dgaussian_tpu.train.optim import init_adam
+    from relightable3dgaussian_tpu.train.stage1 import train_step
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    size = 800
+    n = 100_000
+    cfg = RasterConfig(height=size, width=size, feature_dim=5, sh_degree=3)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    r = jax.random.uniform(ks[0], (n, 1)) ** (1 / 3)
+    d = jax.random.normal(ks[1], (n, 3))
+    pts = r * d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    params, aux = G.create_from_pcd(
+        pts, jax.random.uniform(ks[2], (n, 3)),
+        jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1)), capacity=n)
+    cam = make_camera_params(np.eye(3), np.array([0.0, 0.0, 3.0]),
+                             size, size, fovx=0.9, fovy=0.9)
+    view = ViewInputs(cam=cam, image=jnp.zeros((3, size, size)),
+                      image_mask=jnp.ones((1, size, size)),
+                      depth=jnp.zeros((1, size, size)),
+                      normal=jnp.zeros((3, size, size)))
+
+    bg = jnp.zeros(3)
+
+    @jax.jit
+    def fwd(params, active, view):
+        return render(view, params, active, cfg, bg)["render"]
+
+    t0 = time.time()
+    img = jax.block_until_ready(fwd(params, aux.active, view))
+    log(f"render compile+first: {time.time() - t0:.1f}s, "
+        f"mean={float(img.mean()):.4f}")
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        img = fwd(params, aux.active, view)
+    jax.block_until_ready(img)
+    dt = (time.time() - t0) / iters
+    fps = 1.0 / dt
+    log(f"render: {dt * 1e3:.2f} ms/frame = {fps:.2f} FPS")
+
+    # Secondary: training step throughput (forward+backward+adam).
+    opt = OptimizationConfig(lambda_normal_render_depth=0.01,
+                             lambda_normal_smooth=0.01,
+                             lambda_mask_entropy=0.1, lambda_depth_var=1e-2)
+    opt_state = init_adam(params)
+    try:
+        t0 = time.time()
+        out = train_step(params, aux, opt_state, view, jnp.asarray(1),
+                         jax.random.PRNGKey(0), cfg=cfg, opt=opt,
+                         spatial_lr_scale=1.0)
+        jax.block_until_ready(out[0])
+        log(f"train compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for i in range(5):
+            out = train_step(out[0], out[1], out[2], view,
+                             jnp.asarray(i + 2), jax.random.PRNGKey(i),
+                             cfg=cfg, opt=opt, spatial_lr_scale=1.0)
+        jax.block_until_ready(out[0])
+        train_dt = (time.time() - t0) / 5
+        log(f"train: {train_dt * 1e3:.1f} ms/it = {1 / train_dt:.2f} it/s")
+    except Exception as e:  # keep the headline metric robust
+        log(f"train bench failed: {e}")
+
+    print(json.dumps({
+        "metric": "render_fps_800x800_100k",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

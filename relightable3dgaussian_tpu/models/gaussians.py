@@ -202,10 +202,19 @@ def n_active(aux: GaussianAux) -> jnp.ndarray:
 # Densification statistics
 # ---------------------------------------------------------------------------
 
-def add_densification_stats(aux: GaussianAux, mean2d_grad: jnp.ndarray,
-                            normal_grad: jnp.ndarray, weights: jnp.ndarray,
-                            radii: jnp.ndarray) -> GaussianAux:
-    """Accumulate per-step stats (gaussian_model.py:931-937 + train.py:158-161).
+class StatContribs(NamedTuple):
+    """Per-view densification-stat contributions (summable across views)."""
+    weights: jnp.ndarray      # [P]
+    xyz_grad_norm: jnp.ndarray   # [P]
+    normal_grad_norm: jnp.ndarray  # [P]
+    denom: jnp.ndarray        # [P]
+    radii: jnp.ndarray        # [P] f32 (max-combinable)
+
+
+def densification_contribs(mean2d_grad: jnp.ndarray, normal_grad: jnp.ndarray,
+                           weights: jnp.ndarray,
+                           radii: jnp.ndarray) -> StatContribs:
+    """Per-view stat contributions (gaussian_model.py:931-937).
 
     Args:
       mean2d_grad: [P, 2] d(loss)/d(pixel-space mean).
@@ -213,19 +222,32 @@ def add_densification_stats(aux: GaussianAux, mean2d_grad: jnp.ndarray,
       weights: [P] per-gaussian accumulated blend weight from the rasterizer.
       radii: [P] screen radii (0 = invisible this view).
     """
-    visible = radii > 0
-    vis_f = visible.astype(jnp.float32)
-    return aux.replace(
-        weights_accum=aux.weights_accum + weights,
-        xyz_grad_accum=aux.xyz_grad_accum
-        + vis_f * jnp.linalg.norm(mean2d_grad, axis=-1),
-        normal_grad_accum=aux.normal_grad_accum
-        + vis_f * jnp.linalg.norm(normal_grad, axis=-1),
-        denom=aux.denom + vis_f,
-        max_radii2d=jnp.maximum(aux.max_radii2d,
-                                jnp.where(visible, radii.astype(jnp.float32),
-                                          0.0)),
+    vis_f = (radii > 0).astype(jnp.float32)
+    return StatContribs(
+        weights=weights,
+        xyz_grad_norm=vis_f * jnp.linalg.norm(mean2d_grad, axis=-1),
+        normal_grad_norm=vis_f * jnp.linalg.norm(normal_grad, axis=-1),
+        denom=vis_f,
+        radii=vis_f * radii.astype(jnp.float32),
     )
+
+
+def apply_stat_contribs(aux: GaussianAux, c: StatContribs) -> GaussianAux:
+    return aux.replace(
+        weights_accum=aux.weights_accum + c.weights,
+        xyz_grad_accum=aux.xyz_grad_accum + c.xyz_grad_norm,
+        normal_grad_accum=aux.normal_grad_accum + c.normal_grad_norm,
+        denom=aux.denom + c.denom,
+        max_radii2d=jnp.maximum(aux.max_radii2d, c.radii),
+    )
+
+
+def add_densification_stats(aux: GaussianAux, mean2d_grad: jnp.ndarray,
+                            normal_grad: jnp.ndarray, weights: jnp.ndarray,
+                            radii: jnp.ndarray) -> GaussianAux:
+    """Single-view stats accumulation (train.py:158-161)."""
+    return apply_stat_contribs(
+        aux, densification_contribs(mean2d_grad, normal_grad, weights, radii))
 
 
 # ---------------------------------------------------------------------------

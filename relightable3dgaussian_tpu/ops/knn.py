@@ -15,10 +15,11 @@ import jax.numpy as jnp
 
 def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
     """Spread the low 10 bits of v so there are 2 zeros between each bit."""
-    v = (v * 0x00010001) & 0xFF0000FF
-    v = (v * 0x00000101) & 0x0F00F00F
-    v = (v * 0x00000011) & 0xC30C30C3
-    v = (v * 0x00000005) & 0x49249249
+    u = jnp.uint32
+    v = (v * u(0x00010001)) & u(0xFF0000FF)
+    v = (v * u(0x00000101)) & u(0x0F00F00F)
+    v = (v * u(0x00000011)) & u(0xC30C30C3)
+    v = (v * u(0x00000005)) & u(0x49249249)
     return v
 
 

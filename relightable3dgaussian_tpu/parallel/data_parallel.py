@@ -1,0 +1,116 @@
+"""Multi-device training: camera-batch data parallelism over a Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.3) — one camera per step
+(/root/reference/train.py:115-119). The TPU-native scaling axis is a batch of
+cameras, one per device: parameters are replicated, each device renders and
+differentiates its own view, and gradients/statistics are combined with
+`psum`/`pmax` over the ICI mesh axis via shard_map.
+
+Densification statistics combine exactly like the single-device accumulation
+over consecutive iterations: blend weights and visibility counts sum, screen
+radii take the max.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import gaussians as G
+from ..models.render import ViewInputs, render
+from ..ops.config import RasterConfig
+from ..train.config import OptimizationConfig
+from ..train.optim import AdamState, adam_step, learning_rates
+
+DP_AXIS = "dp"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    import numpy as np
+    return Mesh(np.asarray(devices), (DP_AXIS,))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_views(views: ViewInputs, mesh: Mesh) -> ViewInputs:
+    """Shard a batched ViewInputs (leading dim = n_devices) over the mesh."""
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(DP_AXIS)))
+    return jax.tree.map(put, views)
+
+
+def stack_views(views: list[ViewInputs]) -> ViewInputs:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *views)
+
+
+def make_dp_train_step(mesh: Mesh, *, cfg: RasterConfig,
+                       opt: OptimizationConfig, spatial_lr_scale: float):
+    """Build a jitted data-parallel train step.
+
+    Returns step(params, aux, opt_state, views_batch, iteration) →
+    (params, aux, opt_state, metrics) where views_batch leaves have a
+    leading device-batch dim of size mesh.size.
+    """
+    n_dev = mesh.size
+
+    def per_device(params, aux, opt_state, views, iteration):
+        # views leaves: [1, ...] — this device's camera.
+        view = jax.tree.map(lambda x: x[0], views)
+        bg = (jnp.ones((3,)) if cfg.white_background else jnp.zeros((3,)))
+        m2d0 = jnp.zeros((params.capacity, 2))
+
+        def loss_fn(p, m2d):
+            results = render(view, p, aux.active, cfg, bg, opt,
+                             is_training=True, iteration=iteration,
+                             mean2d_offset=m2d)
+            return results["loss"], results
+
+        (loss, results), (g_params, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
+
+        # Per-view stat contributions BEFORE gradient averaging (the
+        # reference accumulates per-view grad norms, not norms of summed
+        # grads), then combine: sums for weights/norms/denom, max for radii.
+        contribs = G.densification_contribs(
+            g_m2d, g_params.normal, results["weights"][:, 0],
+            results["radii"])
+        contribs = G.StatContribs(
+            weights=jax.lax.psum(contribs.weights, DP_AXIS),
+            xyz_grad_norm=jax.lax.psum(contribs.xyz_grad_norm, DP_AXIS),
+            normal_grad_norm=jax.lax.psum(contribs.normal_grad_norm, DP_AXIS),
+            denom=jax.lax.psum(contribs.denom, DP_AXIS),
+            radii=jax.lax.pmax(contribs.radii, DP_AXIS),
+        )
+
+        # Mean gradients across the camera batch (n_dev=1 reduces to the
+        # reference's single-camera step).
+        g_params = jax.lax.pmean(g_params, DP_AXIS)
+
+        lrs = learning_rates(opt, iteration, spatial_lr_scale)
+        new_params, new_opt_state = adam_step(params, g_params, opt_state, lrs)
+
+        new_aux = G.apply_stat_contribs(aux, contribs)
+
+        metrics = {k: jax.lax.pmean(v, DP_AXIS)
+                   for k, v in results["tb_dict"].items()}
+        metrics["loss"] = jax.lax.pmean(loss, DP_AXIS)
+        metrics["n_active"] = aux.active.sum()
+        return new_params, new_aux, new_opt_state, metrics
+
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DP_AXIS), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, aux, opt_state, views_batch, iteration):
+        return sharded(params, aux, opt_state, views_batch, iteration)
+
+    return step
