@@ -198,6 +198,20 @@ def n_active(aux: GaussianAux) -> jnp.ndarray:
     return aux.active.sum()
 
 
+def mask_grads(grads: GaussianParams, active: jnp.ndarray) -> GaussianParams:
+    """Zero gradients of inactive (padding) slots.
+
+    Inactive slots hold degenerate values (zero normals/quaternions) whose
+    normalization produces NaN cotangents; they must never reach the
+    optimizer or they poison the padded arrays.
+    """
+    P = active.shape[0]
+    return jax.tree.map(
+        lambda g: jnp.where(
+            active.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+        if g.ndim >= 1 and g.shape[0] == P else g, grads)
+
+
 # ---------------------------------------------------------------------------
 # Densification statistics
 # ---------------------------------------------------------------------------

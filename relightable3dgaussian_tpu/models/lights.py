@@ -1,0 +1,146 @@
+"""Environment light models: learnable equirect map + fixed HDR map.
+
+Functional re-design of the reference light classes:
+  * DirectLightMap (/root/reference/scene/direct_light_map.py): a learnable
+    [1, H, 2H, 3] map with softplus activation, queried by bilinear sampling
+    at (phi, theta) — here a pytree of raw params + pure query functions.
+  * EnvLight (/root/reference/scene/envmap.py): fixed HDR image with optional
+    3x3 direction transform.
+
+The bilinear lookup replicates torch.nn.functional.grid_sample with
+align_corners=True and zero padding.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.graphics import srgb_to_rgb
+
+
+def grid_sample_bilinear(img: jnp.ndarray, gx: jnp.ndarray,
+                         gy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img [H, W, C] at normalized coords gx, gy in [-1, 1]
+    (align_corners=True, zeros padding — torch grid_sample parity)."""
+    H, W = img.shape[:2]
+    x = (gx + 1.0) * 0.5 * (W - 1)
+    y = (gy + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xi_c = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+        yi_c = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+        return img[yi_c, xi_c] * inb[..., None]
+
+    out = (tap(x0, y0) * ((1 - wx) * (1 - wy))[..., None]
+           + tap(x0 + 1, y0) * (wx * (1 - wy))[..., None]
+           + tap(x0, y0 + 1) * ((1 - wx) * wy)[..., None]
+           + tap(x0 + 1, y0 + 1) * (wx * wy)[..., None])
+    return out
+
+
+def equirect_query(envmap: jnp.ndarray, dirs: jnp.ndarray,
+                   transform: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Query an equirect env map [H, W, 3] with unit directions [..., 3]
+    (direct_light_map.py:70-83 coordinate convention)."""
+    shape = dirs.shape
+    d = dirs.reshape(-1, 3)
+    if transform is not None:
+        d = d @ transform.T
+    phi = jnp.arccos(jnp.clip(d[:, 2], -1.0, 1.0)) - 1e-6
+    theta = jnp.arctan2(d[:, 1], d[:, 0])
+    gy = (phi / np.pi) * 2.0 - 1.0
+    gx = -theta / np.pi
+    rgb = grid_sample_bilinear(envmap, gx, gy)
+    return rgb.reshape(shape)
+
+
+class DirectLightParams(NamedTuple):
+    """Learnable environment light (raw, pre-softplus)."""
+    env: jnp.ndarray  # [H, 2H, 3]
+
+
+def init_direct_light(H: int = 16, light_init: float = 0.5,
+                      key: jax.Array | None = None) -> DirectLightParams:
+    key = jax.random.PRNGKey(0) if key is None else key
+    return DirectLightParams(
+        env=light_init * jax.random.uniform(key, (H, 2 * H, 3)))
+
+
+def get_env(params: DirectLightParams) -> jnp.ndarray:
+    return jax.nn.softplus(params.env)
+
+
+def direct_light(params: DirectLightParams, dirs: jnp.ndarray,
+                 transform: jnp.ndarray | None = None) -> jnp.ndarray:
+    return equirect_query(get_env(params), dirs, transform)
+
+
+def upsample_direct_light(params: DirectLightParams) -> DirectLightParams:
+    """2x bilinear upsample (align_corners=True), matching
+    direct_light_map.py:85-101 (optimizer-state interpolation is the
+    caller's concern — moments can be upsampled with the same function)."""
+    return DirectLightParams(env=_bilinear_resize_2x(params.env))
+
+
+def _bilinear_resize_2x(img: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape[:2]
+    gy, gx = jnp.meshgrid(jnp.linspace(-1, 1, 2 * H),
+                          jnp.linspace(-1, 1, 2 * W), indexing="ij")
+    return grid_sample_bilinear(img, gx, gy)
+
+
+class EnvLight(NamedTuple):
+    """Fixed HDR environment (scene/envmap.py)."""
+    envmap: jnp.ndarray                 # [H, W, 3] linear HDR
+    transform: jnp.ndarray | None = None  # optional [3, 3]
+
+    def direct_light(self, dirs, transform=None):
+        t = transform if transform is not None else self.transform
+        return equirect_query(self.envmap, dirs, t)
+
+
+def load_env_light(path: str, scale: float = 1.0) -> EnvLight:
+    """Load an HDR (.exr via OpenEXR if available, else imageio) or LDR image
+    as a linear envmap."""
+    img = _load_image_linear(path)
+    return EnvLight(envmap=jnp.asarray(img * scale, jnp.float32))
+
+
+def _load_image_linear(path: str) -> np.ndarray:
+    if path.endswith(".exr"):
+        arr = _read_exr(path)
+    else:
+        import imageio.v2 as imageio
+        arr = imageio.imread(path)[:, :, :3].astype(np.float32) / 255.0
+        arr = np.asarray(srgb_to_rgb(jnp.asarray(arr)))
+    return arr[:, :, :3].astype(np.float32)
+
+
+def _read_exr(path: str) -> np.ndarray:
+    try:
+        import imageio.v2 as imageio
+        return np.asarray(imageio.imread(path), np.float32)
+    except Exception:
+        pass
+    try:
+        import OpenEXR
+        import Imath
+        f = OpenEXR.InputFile(path)
+        dw = f.header()["dataWindow"]
+        h = dw.max.y - dw.min.y + 1
+        w = dw.max.x - dw.min.x + 1
+        pt = Imath.PixelType(Imath.PixelType.FLOAT)
+        chans = [np.frombuffer(f.channel(c, pt), np.float32).reshape(h, w)
+                 for c in ("R", "G", "B")]
+        return np.stack(chans, -1)
+    except Exception as e:
+        raise RuntimeError(
+            f"cannot read EXR {path}: no EXR backend available ({e})")

@@ -1,0 +1,278 @@
+"""Stage-2 ("neilf") render function: PBR shading before splatting + loss.
+
+Functional equivalent of /root/reference/gaussian_renderer/neilf.py: every
+gaussian is shaded with the rendering equation (cached Fibonacci incident
+directions + ray-traced visibility), the shaded color and BRDF maps are
+packed as splat features, rasterized once, then unpacked / sRGB-encoded.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import losses
+from ..ops.camera import CameraParams, pixel_directions
+from ..ops.config import RasterConfig
+from ..ops.rasterize import rasterize
+from ..ops.ray_trace import build_bvh, trace_visibility
+from ..ops.shading import rendering_equation
+from ..train.config import OptimizationConfig
+from ..utils.graphics import fibonacci_sphere_sampling, rgb_to_srgb
+from ..utils.image import psnr
+from . import gaussians as G
+from .lights import DirectLightParams, direct_light, get_env
+from .render import ViewInputs
+
+# Feature channel layouts (after the 3 color channels handled by rasterize):
+# train: depth 1, depth^2 1, pbr 3, normal 3, base_color 3, roughness 1,
+#        diffuse 3, visibility 1                                  -> 16
+# eval adds: specular 3, lights 3, local 3, global 3              -> 28
+TRAIN_FEATURE_DIM = 16
+EVAL_FEATURE_DIM = 28
+
+
+class VisibilityCache(NamedTuple):
+    """Cached per-point incident sampling + traced visibility
+    (reference pc._visibility_tracing/_incident_dirs/_incident_areas,
+    gaussian_model.py:337-342)."""
+    visibility: jnp.ndarray      # [P, S, 1]
+    incident_dirs: jnp.ndarray   # [P, S, 3]
+    incident_areas: jnp.ndarray  # [P, S, 1]
+
+
+def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
+                      sample_num: int, max_clusters: int = 64,
+                      ray_chunk: int = 4096) -> VisibilityCache:
+    """Trace visibility at Fibonacci directions around each point's normal
+    (gaussian_model.py:312-342 `update_visibility`; deterministic sampling,
+    random_rotate=False)."""
+    xyz = params.xyz
+    normal = G.get_normal(params)
+    dirs, areas = fibonacci_sphere_sampling(normal, sample_num, key=None)
+    bvh = build_bvh(xyz, G.get_scaling(params), G.get_rotation(params),
+                    G.get_opacity(params)[:, 0], normal, active)
+    P, S, _ = dirs.shape
+    rays_o = jnp.broadcast_to(xyz[:, None], (P, S, 3)).reshape(-1, 3)
+    rays_d = dirs.reshape(-1, 3)
+    out = trace_visibility(bvh, rays_o, rays_d, max_clusters=max_clusters,
+                           ray_chunk=ray_chunk)
+    vis = out["visibility"].reshape(P, S, 1)
+    vis = jnp.where(active[:, None, None], vis, 0.0)
+    return VisibilityCache(visibility=vis, incident_dirs=dirs,
+                           incident_areas=areas)
+
+
+def render_view(params: G.GaussianParams, active: jnp.ndarray,
+                view: ViewInputs, cfg: RasterConfig, bg_color: jnp.ndarray,
+                env: DirectLightParams, vis: VisibilityCache,
+                is_training: bool,
+                mean2d_offset: jnp.ndarray | None = None) -> dict[str, Any]:
+    cam = view.cam
+    base_color = G.get_base_color(params)
+    roughness = G.get_roughness(params)
+    normal = G.get_normal(params)
+    viewdirs = cam.campos[None, :] - params.xyz
+    viewdirs = viewdirs / jnp.maximum(
+        jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-12)
+
+    pbr, extras = rendering_equation(
+        base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
+        G.get_incidents(params), lambda d: direct_light(env, d),
+        vis.visibility, vis.incident_dirs, vis.incident_areas)
+
+    xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
+    depths = (xyz1 @ cam.world_view)[:, 2:3]
+
+    feats = [depths, depths ** 2, pbr, normal, base_color, roughness,
+             extras["diffuse_light"], extras["incident_visibility"].mean(-2)]
+    if not is_training:
+        feats += [extras["specular"],
+                  extras["incident_lights"].mean(-2),
+                  extras["local_incident_lights"].mean(-2),
+                  extras["global_incident_lights"].mean(-2)]
+    features = jnp.concatenate(feats, axis=-1)
+    assert features.shape[-1] == cfg.feature_dim, (
+        features.shape, cfg.feature_dim)
+
+    out = rasterize(
+        params.xyz, G.get_scaling(params), G.get_rotation(params),
+        G.get_opacity(params), G.get_shs(params), features,
+        cam=cam, cfg=cfg, bg_color=bg_color, active_mask=active,
+        mean2d_offset=mean2d_offset)
+
+    mask = (out.n_contrib > 0)[None].astype(out.feature.dtype)
+    feat = out.feature / jnp.maximum(out.opacity, 1e-5) * mask
+    idx = 0
+
+    def take(n):
+        nonlocal idx
+        sl = feat[idx:idx + n]
+        idx += n
+        return sl
+
+    r_depth = take(1)
+    r_depth2 = take(1)
+    r_pbr = take(3)
+    r_normal = take(3)
+    r_base = take(3)
+    r_rough = take(1)
+    r_diffuse = take(3)
+    r_vis = take(1)
+
+    results = {
+        "render": out.color,
+        "depth": r_depth,
+        "depth_var": r_depth2 - r_depth ** 2,
+        "normal": r_normal,
+        "pseudo_normal": out.pseudo_normal,
+        "surface_xyz": out.surface_xyz,
+        "opacity": out.opacity,
+        "viewspace_points": None,
+        "visibility_filter": out.radii > 0,
+        "radii": out.radii,
+        "num_rendered": out.num_rendered,
+        "num_contrib": out.n_contrib,
+        "weights": out.weights,
+        "base_color": rgb_to_srgb(r_base),
+        "roughness": r_rough,
+        "diffuse": rgb_to_srgb(r_diffuse),
+        "visibility": r_vis,
+        "diffuse_light": extras["diffuse_light"],
+        "env": get_env(env),
+    }
+    pbr_img = r_pbr * out.opacity + (1 - out.opacity) * bg_color[:, None, None]
+    results["pbr"] = rgb_to_srgb(pbr_img)
+
+    if not is_training:
+        r_spec = take(3)
+        r_light = take(3)
+        r_local = take(3)
+        r_global = take(3)
+        results.update({
+            "specular": rgb_to_srgb(r_spec),
+            "lights": rgb_to_srgb(r_light),
+            "local_lights": rgb_to_srgb(r_local),
+            "global_lights": rgb_to_srgb(r_global),
+        })
+        dirs_px = pixel_directions(cam, cfg.height, cfg.width)  # [H, W, 3]
+        env_px = jnp.moveaxis(direct_light(env, dirs_px), -1, 0)
+        results["render_env"] = (out.color
+                                 + (1 - out.opacity) * rgb_to_srgb(env_px))
+        results["pbr_env"] = rgb_to_srgb(
+            r_pbr * out.opacity + (1 - out.opacity) * env_px)
+        results["env_only"] = rgb_to_srgb(env_px)
+    return results
+
+
+def calculate_loss(view: ViewInputs, params: G.GaussianParams,
+                   active: jnp.ndarray, results: dict[str, Any],
+                   opt: OptimizationConfig, env: DirectLightParams):
+    """Stage-2 loss (neilf.py:212-318): dual photometric + PBR regularizers."""
+    tb = {}
+    gt = view.image
+    rendered = results["render"]
+    rendered_pbr = results["pbr"]
+
+    ll1 = losses.l1_loss(rendered, gt)
+    ssim_val = losses.ssim(rendered, gt)
+    tb["l1"] = ll1
+    tb["psnr"] = psnr(rendered[None], gt[None]).mean()
+    tb["ssim"] = ssim_val
+    loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_val)
+
+    ll1_pbr = losses.l1_loss(rendered_pbr, gt)
+    ssim_pbr = losses.ssim(rendered_pbr, gt)
+    tb["l1_pbr"] = ll1_pbr
+    tb["ssim_pbr"] = ssim_pbr
+    tb["psnr_pbr"] = psnr(rendered_pbr[None], gt[None]).mean()
+    loss_pbr = ((1.0 - opt.lambda_dssim) * ll1_pbr
+                + opt.lambda_dssim * (1.0 - ssim_pbr))
+    loss = loss + opt.lambda_pbr * loss_pbr
+
+    if opt.lambda_depth > 0:
+        depth_mask = (view.depth > 0).astype(gt.dtype)
+        sur_mask = jnp.logical_xor(view.image_mask > 0.5, view.depth > 0)
+        w = (~sur_mask).astype(gt.dtype)
+        ld = (jnp.abs(results["depth"] - view.depth) * w).sum() / \
+            jnp.maximum(w.sum(), 1.0)
+        tb["loss_depth"] = ld
+        loss = loss + opt.lambda_depth * ld
+        del depth_mask
+
+    if opt.lambda_mask_entropy > 0:
+        le = losses.mask_entropy_loss(results["opacity"], view.image_mask)
+        tb["loss_mask_entropy"] = le
+        loss = loss + opt.lambda_mask_entropy * le
+
+    if opt.lambda_normal_render_depth > 0:
+        ln = losses.mse_loss(
+            results["normal"] * view.image_mask,
+            jax.lax.stop_gradient(results["pseudo_normal"]) * view.image_mask)
+        tb["loss_normal_render_depth"] = ln
+        loss = loss + opt.lambda_normal_render_depth * ln
+
+    if opt.lambda_normal_mvs_depth > 0:
+        depth_mask = (view.depth > 0).astype(gt.dtype)
+        lnm = losses.mse_loss(results["normal"] * depth_mask,
+                              view.normal * depth_mask)
+        tb["loss_normal_mvs_depth"] = lnm
+        loss = loss + opt.lambda_normal_mvs_depth * lnm
+
+    if opt.lambda_light > 0:
+        dl = results["diffuse_light"]
+        mean_light = jnp.broadcast_to(dl.mean(-1, keepdims=True), dl.shape)
+        ll = (jnp.abs(dl - mean_light) * active[:, None]).sum() / \
+            jnp.maximum(active.sum() * 3, 1)
+        tb["loss_light"] = ll
+        loss = loss + opt.lambda_light * ll
+
+    if opt.lambda_base_color_smooth > 0:
+        lb = losses.first_order_edge_aware_loss(
+            results["base_color"] * view.image_mask, gt)
+        tb["loss_base_color_smooth"] = lb
+        loss = loss + opt.lambda_base_color_smooth * lb
+
+    if opt.lambda_roughness_smooth > 0:
+        lr = losses.first_order_edge_aware_loss(
+            results["roughness"] * view.image_mask, gt)
+        tb["loss_roughness_smooth"] = lr
+        loss = loss + opt.lambda_roughness_smooth * lr
+
+    if opt.lambda_light_smooth > 0:
+        lls = losses.first_order_edge_aware_loss(
+            results["diffuse"] * view.image_mask, results["normal"])
+        tb["loss_light_smooth"] = lls
+        loss = loss + opt.lambda_light_smooth * lls
+
+    if opt.lambda_env_smooth > 0:
+        env_img = jnp.moveaxis(get_env(env), -1, 0)
+        les = losses.tv_loss(env_img)
+        tb["loss_env_smooth"] = les
+        loss = loss + opt.lambda_env_smooth * les
+
+    if opt.lambda_normal_smooth > 0:
+        lns = losses.tv_loss(results["normal"] * view.image_mask)
+        tb["loss_normal_smooth"] = lns
+        loss = loss + opt.lambda_normal_smooth * lns
+
+    tb["loss"] = loss
+    return loss, tb
+
+
+def render_neilf(view: ViewInputs, params: G.GaussianParams,
+                 active: jnp.ndarray, cfg: RasterConfig,
+                 bg_color: jnp.ndarray, env: DirectLightParams,
+                 vis: VisibilityCache, opt: OptimizationConfig | None = None,
+                 is_training: bool = False,
+                 mean2d_offset: jnp.ndarray | None = None) -> dict[str, Any]:
+    """Stage-2 entry point (reference `render_neilf`, neilf.py:321-336)."""
+    results = render_view(params, active, view, cfg, bg_color, env, vis,
+                          is_training, mean2d_offset)
+    if is_training:
+        assert opt is not None
+        loss, tb = calculate_loss(view, params, active, results, opt, env)
+        results["loss"] = loss
+        results["tb_dict"] = tb
+    return results

@@ -73,6 +73,7 @@ def make_dp_train_step(mesh: Mesh, *, cfg: RasterConfig,
 
         (loss, results), (g_params, g_m2d) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
+        g_params = G.mask_grads(g_params, aux.active)
 
         # Per-view stat contributions BEFORE gradient averaging (the
         # reference accumulates per-view grad norms, not norms of summed

@@ -37,6 +37,7 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
 
     (loss, results), (g_params, g_m2d) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
+    g_params = G.mask_grads(g_params, aux.active)
 
     lrs = learning_rates(opt, iteration, spatial_lr_scale)
     new_params, new_opt_state = adam_step(params, g_params, opt_state, lrs)

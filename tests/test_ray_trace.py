@@ -1,0 +1,124 @@
+"""Tests for ray-traced visibility: cluster tracer vs brute-force oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relightable3dgaussian_tpu.ops.ray_trace import (build_bvh,
+                                                     inverse_covariance_packed,
+                                                     trace_visibility)
+
+
+def brute_force_visibility(xyz, scaling, rotation, opacity, normal,
+                           rays_o, rays_d):
+    """Exact reference: test every gaussian with the CUDA tracer's rules
+    (bvh/src/trace.cu:232-254), order-independent product."""
+    rays_o = rays_o + 0.05 * rays_d
+    cov_inv = np.asarray(inverse_covariance_packed(scaling, rotation))
+    xyz, op, nrm = map(np.asarray, (xyz, opacity, normal))
+    ro, rd = np.asarray(rays_o), np.asarray(rays_d)
+    R = ro.shape[0]
+    vis = np.ones(R)
+    for i in range(R):
+        T = 1.0
+        for g in range(xyz.shape[0]):
+            if op[g] < 1 / 255:
+                continue
+            if (nrm[g] * rd[i]).sum() > 0:
+                continue
+            c = cov_inv[g]
+            mu = xyz[g] - ro[i]
+
+            def quad(a, b):
+                return (c[0] * a[0] * b[0] + c[3] * a[1] * b[1]
+                        + c[5] * a[2] * b[2]
+                        + c[1] * (a[0] * b[1] + a[1] * b[0])
+                        + c[2] * (a[0] * b[2] + a[2] * b[0])
+                        + c[4] * (a[1] * b[2] + a[2] * b[1]))
+
+            t = quad(mu, rd[i]) / max(quad(rd[i], rd[i]), 1e-12)
+            if t < 0.01:
+                continue
+            delta = mu - t * rd[i]
+            power = -0.5 * quad(delta, delta)
+            if power > 0:
+                continue
+            T *= 1 - op[g] * np.exp(power)
+        vis[i] = T if T >= 0.9 else 0.0
+    return vis
+
+
+def random_cloud(key, n=200):
+    ks = jax.random.split(key, 5)
+    xyz = jax.random.uniform(ks[0], (n, 3), minval=-1, maxval=1)
+    scaling = jax.random.uniform(ks[1], (n, 3), minval=0.01, maxval=0.05)
+    rot = jax.random.normal(ks[2], (n, 4))
+    rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+    opacity = jax.random.uniform(ks[3], (n,), minval=0.1, maxval=0.9)
+    normal = jax.random.normal(ks[4], (n, 3))
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    return xyz, scaling, rot, opacity, normal
+
+
+class TestTraceVisibility:
+    def test_matches_brute_force(self):
+        xyz, scaling, rot, opacity, normal = random_cloud(jax.random.PRNGKey(0))
+        bvh = build_bvh(xyz, scaling, rot, opacity, normal)
+        kr = jax.random.split(jax.random.PRNGKey(1), 2)
+        rays_o = jax.random.uniform(kr[0], (64, 3), minval=-1, maxval=1)
+        rays_d = jax.random.normal(kr[1], (64, 3))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+        out = trace_visibility(bvh, rays_o, rays_d, max_clusters=32,
+                               ray_chunk=64)
+        expected = brute_force_visibility(xyz, scaling, rot, opacity, normal,
+                                          rays_o, rays_d)
+        np.testing.assert_allclose(out["visibility"][:, 0], expected,
+                                   atol=2e-3)
+
+    def test_unoccluded_ray_full_visibility(self):
+        xyz = jnp.array([[0.0, 0.0, 0.0]])
+        scaling = jnp.full((1, 3), 0.1)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        opacity = jnp.array([0.9])
+        normal = jnp.array([[0.0, 0.0, 1.0]])
+        bvh = build_bvh(xyz, scaling, rot, opacity, normal)
+        # Ray starting far away pointing AWAY from the gaussian.
+        out = trace_visibility(bvh, jnp.array([[0.0, 0, 3.0]]),
+                               jnp.array([[0.0, 0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) == 1.0
+
+    def test_occluded_ray_zero_visibility(self):
+        # Opaque gaussian straight ahead (ray dir against its normal).
+        xyz = jnp.array([[0.0, 0.0, 1.0]])
+        scaling = jnp.full((1, 3), 0.1)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        opacity = jnp.array([0.95])
+        normal = jnp.array([[0.0, 0.0, -1.0]])
+        bvh = build_bvh(xyz, scaling, rot, opacity, normal)
+        out = trace_visibility(bvh, jnp.array([[0.0, 0, 0.0]]),
+                               jnp.array([[0.0, 0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) == 0.0
+        assert int(out["contribute"][0, 0]) == 1
+
+    def test_backfacing_gaussian_skipped(self):
+        xyz = jnp.array([[0.0, 0.0, 1.0]])
+        scaling = jnp.full((1, 3), 0.1)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        opacity = jnp.array([0.95])
+        normal = jnp.array([[0.0, 0.0, 1.0]])  # facing along the ray
+        bvh = build_bvh(xyz, scaling, rot, opacity, normal)
+        out = trace_visibility(bvh, jnp.array([[0.0, 0, 0.0]]),
+                               jnp.array([[0.0, 0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) == 1.0
+
+    def test_inactive_points_ignored(self):
+        xyz = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 2.0]])
+        scaling = jnp.full((2, 3), 0.1)
+        rot = jnp.tile(jnp.array([1.0, 0, 0, 0]), (2, 1))
+        opacity = jnp.array([0.95, 0.95])
+        normal = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (2, 1))
+        bvh = build_bvh(xyz, scaling, rot, opacity, normal,
+                        active=jnp.array([False, False]))
+        out = trace_visibility(bvh, jnp.array([[0.0, 0, 0.0]]),
+                               jnp.array([[0.0, 0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) == 1.0

@@ -1,0 +1,97 @@
+"""Stage-2 (NeILF/PBR) end-to-end smoke tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relightable3dgaussian_tpu.models import gaussians as G
+from relightable3dgaussian_tpu.models.render import ViewInputs
+from relightable3dgaussian_tpu.models.render_neilf import (EVAL_FEATURE_DIM,
+                                                           TRAIN_FEATURE_DIM,
+                                                           render_neilf)
+from relightable3dgaussian_tpu.ops import RasterConfig, make_camera_params
+from relightable3dgaussian_tpu.train.config import OptimizationConfig
+from relightable3dgaussian_tpu.train.optim import init_adam, init_array_adam
+from relightable3dgaussian_tpu.train.stage2 import (finetune_visibility,
+                                                    setup_stage2, train_step)
+
+SIZE = 32
+CFG_TRAIN = RasterConfig(height=SIZE, width=SIZE,
+                         feature_dim=TRAIN_FEATURE_DIM, sh_degree=0,
+                         buffer_multiple=16, max_tiles_per_gaussian=4,
+                         chunk=32, max_chunks_per_tile=8)
+CFG_EVAL = RasterConfig(height=SIZE, width=SIZE,
+                        feature_dim=EVAL_FEATURE_DIM, sh_degree=0,
+                        buffer_multiple=16, max_tiles_per_gaussian=4,
+                        chunk=32, max_chunks_per_tile=8)
+
+
+def toy_setup(n=40, cap=64, sample_num=16):
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (n, 3), minval=-0.7, maxval=0.7)
+    params, aux = G.create_from_pcd(
+        pts, jnp.full((n, 3), 0.5),
+        jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1)), capacity=cap,
+        use_pbr=True)
+    params, vis_cache, env = setup_stage2(params, aux.active, sample_num,
+                                          env_resolution=8, light_init=1.0)
+    cam = make_camera_params(np.eye(3), np.array([0.0, 0.0, 3.5]),
+                             SIZE, SIZE, fovx=0.9, fovy=0.9)
+    view = ViewInputs(cam=cam,
+                      image=jnp.full((3, SIZE, SIZE), 0.4),
+                      image_mask=jnp.ones((1, SIZE, SIZE)),
+                      depth=jnp.zeros((1, SIZE, SIZE)),
+                      normal=jnp.zeros((3, SIZE, SIZE)))
+    return params, aux, env, vis_cache, view
+
+
+class TestStage2:
+    def test_render_neilf_shapes_train(self):
+        params, aux, env, vis, view = toy_setup()
+        res = render_neilf(view, params, aux.active, CFG_TRAIN, jnp.zeros(3),
+                           env, vis, OptimizationConfig(), is_training=True)
+        for k in ["render", "pbr", "base_color", "roughness", "diffuse",
+                  "visibility", "normal", "depth"]:
+            assert np.isfinite(np.asarray(res[k])).all(), k
+        assert res["pbr"].shape == (3, SIZE, SIZE)
+        assert res["roughness"].shape == (1, SIZE, SIZE)
+        assert np.isfinite(float(res["loss"]))
+
+    def test_render_neilf_eval_extras(self):
+        params, aux, env, vis, view = toy_setup()
+        res = render_neilf(view, params, aux.active, CFG_EVAL, jnp.zeros(3),
+                           env, vis, is_training=False)
+        for k in ["specular", "lights", "local_lights", "global_lights",
+                  "render_env", "pbr_env", "env_only"]:
+            assert res[k].shape == (3, SIZE, SIZE), k
+            assert np.isfinite(np.asarray(res[k])).all(), k
+
+    def test_visibility_cache_range(self):
+        params, aux, env, vis, view = toy_setup()
+        v = np.asarray(vis.visibility)
+        assert v.min() >= 0.0 and v.max() <= 1.0
+        # visibility is 0 or >= 0.9 by the early-exit rule
+        assert (((v < 1e-6) | (v >= 0.9 - 1e-6)).all())
+        # some rays should be occluded in a random cloud
+        assert (v < 0.5).mean() > 0.0
+
+    def test_train_steps_improve_pbr_psnr(self):
+        params, aux, env, vis, view = toy_setup()
+        opt_state = init_adam(params)
+        env_state = init_array_adam(env.env)
+        opt = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
+        psnrs = []
+        for it in range(1, 31):
+            params, aux, opt_state, env, env_state, metrics = train_step(
+                params, aux, opt_state, env, env_state, vis, view,
+                jnp.asarray(it), cfg=CFG_TRAIN, opt=opt, spatial_lr_scale=1.0)
+            psnrs.append(float(metrics["psnr_pbr"]))
+            assert np.isfinite(psnrs[-1])
+        assert np.mean(psnrs[-5:]) > np.mean(psnrs[:5]) + 0.5, psnrs
+
+    def test_finetune_visibility_reduces_loss(self):
+        params, aux, env, vis, view = toy_setup()
+        new_params, hist = finetune_visibility(
+            params, aux.active, jax.random.PRNGKey(0), iterations=60)
+        hist = np.asarray(hist)
+        assert hist[-10:].mean() < hist[:10].mean()
+        assert not np.allclose(np.asarray(new_params.visibility_dc), 0.0)
