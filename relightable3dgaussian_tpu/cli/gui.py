@@ -1,0 +1,180 @@
+"""Interactive / headless viewer.
+
+Re-design of /root/reference/gui.py: an OrbitCamera and a render loop that
+shows any tensor in the results dict as a display mode. When dearpygui is
+available (it is not in the TPU image) a live window is used; otherwise
+`--headless` renders an orbit trajectory to PNG frames — same render path,
+file output instead of a window.
+
+Usage:
+  python -m relightable3dgaussian_tpu.cli.gui -m <model_dir> [-c ckpt] \
+      --headless --frames 24 --mode render
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..scene.cameras import Camera
+from ..utils.graphics import focal2fov
+
+
+class OrbitCamera:
+    """Spherical orbit camera (reference gui.py:26-89)."""
+
+    def __init__(self, width: int, height: int, fovy_deg: float = 50.0,
+                 center=None, radius: float = 4.0):
+        self.width = width
+        self.height = height
+        self.fovy = np.deg2rad(fovy_deg)
+        self.center = np.zeros(3) if center is None else np.asarray(center)
+        self.radius = radius
+        self.azimuth = 0.0
+        self.elevation = 0.0
+
+    def orbit(self, d_azimuth: float, d_elevation: float) -> None:
+        self.azimuth += d_azimuth
+        self.elevation = np.clip(self.elevation + d_elevation,
+                                 -np.pi / 2 + 1e-3, np.pi / 2 - 1e-3)
+
+    def pan(self, dx: float, dy: float) -> None:
+        cam = self.camera()
+        right = cam.R[:, 0]
+        up = cam.R[:, 1]
+        self.center += (-dx * right + dy * up) * self.radius * 1e-3
+
+    def zoom(self, delta: float) -> None:
+        self.radius = max(0.05, self.radius * (0.95 ** delta))
+
+    def camera(self) -> Camera:
+        ca, sa = np.cos(self.azimuth), np.sin(self.azimuth)
+        ce, se = np.cos(self.elevation), np.sin(self.elevation)
+        eye = self.center + self.radius * np.array([sa * ce, se, ca * ce])
+        fwd = self.center - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        dn = np.cross(fwd, right)
+        R = np.stack([right, dn, fwd], axis=1)
+        T = -R.T @ eye
+        fovx = focal2fov(
+            self.height / (2 * np.tan(self.fovy / 2)), self.width)
+        return Camera(uid=0, R=R, T=T, fovx=fovx, fovy=self.fovy,
+                      width=self.width, height=self.height)
+
+
+class GUI:
+    """Render-loop host. `render_fn(camera) -> results dict`."""
+
+    def __init__(self, width: int, height: int, render_fn, mode: str = "render",
+                 center=None, radius: float = 4.0):
+        self.orbit = OrbitCamera(width, height, center=center, radius=radius)
+        self.render_fn = render_fn
+        self.mode = mode
+        self.last_dt = 0.0
+
+    def render_once(self) -> np.ndarray:
+        t0 = time.perf_counter()
+        results = self.render_fn(self.orbit.camera())
+        img = np.asarray(results[self.mode])
+        self.last_dt = time.perf_counter() - t0
+        if img.ndim == 3 and img.shape[0] in (1, 3):
+            img = np.moveaxis(img, 0, -1)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, -1)
+        return np.clip(img, 0, 1)
+
+    def run_headless(self, out_dir: str, frames: int = 24) -> None:
+        from ..scene.image_io import save_image_u8
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(frames):
+            self.orbit.azimuth = 2 * np.pi * i / frames
+            img = self.render_once()
+            save_image_u8(os.path.join(out_dir, f"{self.mode}_{i:04d}.png"),
+                          img)
+            print(f"frame {i + 1}/{frames} ({1 / max(self.last_dt, 1e-9):.1f}"
+                  " FPS)", flush=True)
+
+    def run_window(self) -> None:  # pragma: no cover - needs dearpygui
+        import dearpygui.dearpygui as dpg
+        w, h = self.orbit.width, self.orbit.height
+        dpg.create_context()
+        with dpg.texture_registry():
+            dpg.add_raw_texture(w, h, np.zeros((h, w, 3), np.float32),
+                                format=dpg.mvFormat_Float_rgb, tag="_tex")
+        with dpg.window(tag="_win", width=w, height=h):
+            dpg.add_image("_tex")
+        dpg.create_viewport(title="relightable3dgaussian_tpu", width=w,
+                            height=h)
+        dpg.setup_dearpygui()
+        dpg.show_viewport()
+        while dpg.is_dearpygui_running():
+            img = self.render_once()
+            dpg.set_value("_tex", img.astype(np.float32).ravel())
+            dpg.render_dearpygui_frame()
+        dpg.destroy_context()
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+    from ..train.config import ModelConfig, PipelineConfig
+    from .arguments import build_parser, extract, get_combined_args
+    from .eval_nvs import load_model
+    from ..models.render import render
+    from ..ops.config import RasterConfig
+
+    parser = build_parser("viewer")
+    parser.add_argument("-c", "--checkpoint", default=None)
+    parser.add_argument("-t", "--type", choices=["render", "neilf"],
+                        default="render")
+    parser.add_argument("--headless", action="store_true")
+    parser.add_argument("--frames", type=int, default=24)
+    parser.add_argument("--mode", default="render")
+    parser.add_argument("--size", type=int, default=400)
+    parser.add_argument("--radius", type=float, default=4.0)
+    parser.add_argument("--out", default="gui_frames")
+    args = get_combined_args(parser, argv)
+    model_cfg = extract(ModelConfig, args)
+    pipe = extract(PipelineConfig, args)
+
+    is_pbr = args.type == "neilf"
+    params, active, _ = load_model(args, model_cfg, is_pbr)
+    bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+
+    if is_pbr:
+        from ..models.lights import init_direct_light
+        from ..models.render_neilf import (EVAL_FEATURE_DIM, render_neilf,
+                                           update_visibility)
+        vis = update_visibility(params, active, pipe.sample_num)
+        env = init_direct_light(model_cfg.env_resolution)
+        cfg = RasterConfig(height=args.size, width=args.size,
+                           feature_dim=EVAL_FEATURE_DIM, sh_degree=3)
+
+        def render_fn(camera):
+            return render_neilf(camera.view_inputs(), params, active, cfg,
+                                bg, env, vis, is_training=False)
+    else:
+        cfg = RasterConfig(height=args.size, width=args.size, feature_dim=5,
+                           sh_degree=3)
+
+        def render_fn(camera):
+            return render(camera.view_inputs(), params, active, cfg, bg)
+
+    center = np.asarray(params.xyz)[np.asarray(active)].mean(0)
+    gui = GUI(args.size, args.size, render_fn, mode=args.mode, center=center,
+              radius=args.radius)
+    if args.headless:
+        gui.run_headless(args.out, args.frames)
+    else:
+        try:
+            gui.run_window()
+        except ImportError:
+            print("dearpygui not available; falling back to --headless")
+            gui.run_headless(args.out, args.frames)
+
+
+if __name__ == "__main__":
+    main()

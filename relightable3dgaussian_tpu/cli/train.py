@@ -1,0 +1,329 @@
+"""Training driver: two-stage relightable 3DGS training CLI.
+
+Re-design of /root/reference/train.py: same flag surface (-s/-m/-t, loss
+lambdas, schedules), same artifact layout (point_cloud/iteration_N/
+point_cloud.ply, chkpnt<iter>.npz, env_light_chkpnt<iter>.npz, cfg_args),
+driving the jitted train steps of train/stage{1,2}.py.
+
+Usage:
+  python -m relightable3dgaussian_tpu.cli.train -s <data> -m <out> [-t render]
+  python -m relightable3dgaussian_tpu.cli.train -s <data> -m <out> -t neilf \
+      -c <out_stage1>/chkpnt30000.npz
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as G
+from ..models.lights import DirectLightParams, init_direct_light
+from ..models.render import ViewInputs, render
+from ..models.render_neilf import (TRAIN_FEATURE_DIM, render_neilf,
+                                   update_visibility)
+from ..ops.config import RasterConfig
+from ..scene import Scene
+from ..train import checkpoint as ckpt
+from ..train import stage1, stage2
+from ..train.config import OptimizationConfig
+from ..train.optim import init_adam, init_array_adam
+from ..utils.image import psnr as psnr_fn
+from .arguments import build_parser, extract_all, save_cfg_args
+
+
+def pick_capacity(n: int, requested: int = 0) -> int:
+    if requested > 0:
+        return max(requested, n)
+    return max(4096, -(-4 * n // 4096) * 4096)
+
+
+def make_views(cameras) -> list[ViewInputs]:
+    return [c.view_inputs() for c in cameras]
+
+
+def raster_config(cameras, feature_dim: int, white_background: bool,
+                  compute_pseudo_normal: bool = True,
+                  args=None) -> RasterConfig:
+    h, w = cameras[0].height, cameras[0].width
+    assert all(c.height == h and c.width == w for c in cameras), \
+        "mixed-resolution camera sets need per-resolution configs"
+    extra = {}
+    if args is not None:
+        for name in ("buffer_multiple", "chunk", "max_chunks_per_tile",
+                     "max_tiles_per_gaussian"):
+            val = getattr(args, name, 0)
+            if val:
+                extra[name] = val
+    return RasterConfig(height=h, width=w, feature_dim=feature_dim,
+                        sh_degree=3, white_background=white_background,
+                        compute_pseudo_normal=compute_pseudo_normal, **extra)
+
+
+def params_from_ply_dict(d: dict, capacity: int, use_pbr: bool):
+    n = d["xyz"].shape[0]
+    params, aux = G.create_from_pcd(
+        jnp.asarray(d["xyz"]), jnp.full((n, 3), 0.5),
+        jnp.asarray(d["normal"]), capacity=capacity, use_pbr=use_pbr)
+
+    def put(name, val):
+        leaf = getattr(params, name)
+        return leaf.at[:n].set(jnp.asarray(val))
+
+    updates = {k: put(k, v) for k, v in d.items()}
+    return params.replace(**updates), aux
+
+
+def training(args) -> None:
+    model_cfg, pipe, opt = extract_all(args)
+    is_pbr = args.type == "neilf"
+    t0 = time.time()
+
+    scene = Scene(model_cfg.source_path, model_cfg.model_path,
+                  images=model_cfg.images,
+                  white_background=model_cfg.white_background,
+                  eval_split=model_cfg.eval, resolution=model_cfg.resolution,
+                  debug=pipe.debug)
+    save_cfg_args(model_cfg.model_path, args)
+
+    pcd = scene.scene_info.point_cloud
+    first_iter = 0
+
+    if args.checkpoint:
+        # Restore capacity from the checkpoint itself.
+        data = np.load(args.checkpoint if args.checkpoint.endswith(".npz")
+                       else args.checkpoint + ".npz")
+        cap = data["params.xyz"].shape[0]
+        params, aux = G.create_from_pcd(
+            jnp.zeros((1, 3)), jnp.full((1, 3), 0.5),
+            jnp.asarray([[0.0, 0, 1.0]]), capacity=cap, use_pbr=is_pbr)
+        opt_state = init_adam(params)
+        template_params = G.add_pbr_params(params) if is_pbr else params
+        it, restored = ckpt.load_checkpoint(
+            args.checkpoint, params=template_params,
+            aux=G.init_aux(cap, 0), opt_state=init_adam(template_params))
+        params, aux, opt_state = (restored["params"], restored["aux"],
+                                  restored["opt_state"])
+        # Reference semantics: iteration counting continues across stages;
+        # --iterations is the TOTAL (e.g. stage-1 ckpt at 30k + stage-2
+        # --iterations 40000 trains 10k more, script/run_nerf.sh:31).
+        first_iter = it
+        print(f"Restored checkpoint {args.checkpoint} at iteration {it}; "
+              f"{int(np.asarray(aux.active).sum())} active gaussians")
+    else:
+        pts, cols, nrms = pcd.points, pcd.colors, pcd.normals
+        if args.max_init_points and pts.shape[0] > args.max_init_points:
+            sel = np.random.default_rng(0).choice(
+                pts.shape[0], args.max_init_points, replace=False)
+            pts, cols, nrms = pts[sel], cols[sel], nrms[sel]
+        cap = pick_capacity(pts.shape[0], args.capacity)
+        params, aux = G.create_from_pcd(
+            jnp.asarray(pts), jnp.asarray(cols),
+            jnp.asarray(nrms), capacity=cap, use_pbr=is_pbr)
+        opt_state = init_adam(params)
+        print(f"Initialized {pts.shape[0]} gaussians (capacity {cap})")
+
+    train_cams = scene.get_train_cameras()
+    views = make_views(train_cams)
+    spatial_lr_scale = scene.cameras_extent
+    extent = scene.cameras_extent
+
+    env = env_state = vis = None
+    if is_pbr:
+        params = G.add_pbr_params(params)
+        opt_state = init_adam(params).replace(count=opt_state.count) \
+            if opt_state.mu.base_color.shape[0] != params.capacity else opt_state
+        print(f"Tracing visibility ({pipe.sample_num} samples)...")
+        vis = update_visibility(params, aux.active, pipe.sample_num)
+        env = init_direct_light(model_cfg.env_resolution, opt.light_init)
+        env_state = init_array_adam(env.env)
+        env_ckpt = (os.path.join(os.path.dirname(args.checkpoint),
+                                 "env_light_" +
+                                 os.path.basename(args.checkpoint))
+                    if args.checkpoint else None)
+        if env_ckpt and os.path.exists(env_ckpt):
+            _, restored = ckpt.load_checkpoint(env_ckpt, env=env,
+                                               env_state=env_state)
+            env, env_state = restored["env"], restored["env_state"]
+            print(f"Loaded env light from {env_ckpt}")
+        cfg = raster_config(train_cams, TRAIN_FEATURE_DIM,
+                            model_cfg.white_background, args=args)
+    else:
+        cfg = raster_config(train_cams, 5, model_cfg.white_background,
+                            args=args)
+
+    ema = {}
+
+    def callback(iteration, metrics):
+        for k in ("psnr", "psnr_pbr"):
+            if k in metrics:
+                ema[k] = 0.4 * float(metrics[k]) + 0.6 * ema.get(k, 0.0)
+        if iteration % args.log_interval == 0 or iteration == first_iter + 1:
+            n_act = int(np.asarray(metrics.get("n_active", 0)))
+            msg = (f"iter {iteration:6d} loss {float(metrics['loss']):.4f} "
+                   f"psnr {ema.get('psnr', 0):.2f}")
+            if "psnr_pbr" in ema:
+                msg += f" psnr_pbr {ema['psnr_pbr']:.2f}"
+            if "densify" in metrics:
+                d = metrics["densify"]
+                msg += (f" | densify +{int(d.n_cloned)}c/{int(d.n_split)}s"
+                        f" -{int(d.n_pruned)}p")
+            msg += f" | {n_act} pts | {time.time() - t0:.0f}s"
+            print(msg, flush=True)
+        if iteration % args.save_interval == 0 or iteration == opt.iterations:
+            print(f"[ITER {iteration}] Saving gaussians")
+            scene.save(iteration, state["params"],
+                       np.asarray(state["aux"].active))
+        if (iteration % args.checkpoint_interval == 0
+                or iteration == opt.iterations):
+            print(f"[ITER {iteration}] Saving checkpoint")
+            path = os.path.join(model_cfg.model_path, f"chkpnt{iteration}")
+            ckpt.save_checkpoint(path, iteration, params=state["params"],
+                                 aux=state["aux"],
+                                 opt_state=state["opt_state"])
+            if is_pbr:
+                ckpt.save_checkpoint(
+                    os.path.join(model_cfg.model_path,
+                                 f"env_light_chkpnt{iteration}"),
+                    iteration, env=state["env"], env_state=state["env_state"])
+
+    # state dict so the save/checkpoint callback sees the latest values
+    state = dict(params=params, aux=aux, opt_state=opt_state, env=env,
+                 env_state=env_state)
+
+    if not is_pbr:
+        params, aux, opt_state = _run_stage1(
+            params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
+            extent, state, callback)
+    else:
+        params, aux, opt_state, env, env_state = _run_stage2(
+            params, aux, opt_state, env, env_state, vis, views, cfg, opt,
+            spatial_lr_scale, extent, first_iter, state, callback)
+
+    state.update(params=params, aux=aux, opt_state=opt_state, env=env,
+                 env_state=env_state)
+    print(f"Training complete in {time.time() - t0:.0f}s; "
+          f"{int(np.asarray(aux.active).sum())} gaussians")
+
+    if model_cfg.eval and scene.get_test_cameras():
+        evaluate(scene, params, aux, env, vis, pipe, model_cfg, args)
+
+
+def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
+                extent, state, callback):
+    rng = np.random.default_rng(0)
+    stack = []
+    key = jax.random.PRNGKey(0)
+    for iteration in range(1, opt.iterations + 1):
+        if not stack:
+            stack = list(rng.permutation(len(views)))
+        view = views[stack.pop()]
+        key, k1, k2 = jax.random.split(key, 3)
+        params, aux, opt_state, metrics = stage1.train_step(
+            params, aux, opt_state, view, jnp.asarray(iteration), k1,
+            cfg=cfg, opt=opt, spatial_lr_scale=spatial_lr_scale)
+        if iteration < opt.densify_until_iter:
+            if (iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0):
+                size_thresh = (20.0 if iteration > opt.opacity_reset_interval
+                               else float("inf"))
+                gn_thresh = (opt.densify_grad_normal_threshold
+                             if iteration > opt.normal_densify_from_iter
+                             else 99999.0)
+                params, aux, opt_state, dstats = stage1.densify_step(
+                    params, aux, opt_state, k2, jnp.asarray(gn_thresh),
+                    jnp.asarray(size_thresh), jnp.asarray(extent), opt=opt)
+                metrics["densify"] = dstats
+                if int(dstats.n_dropped) > 0:
+                    new_cap = params.capacity * 2
+                    print(f"[ITER {iteration}] capacity overflow "
+                          f"({int(dstats.n_dropped)} dropped) -> growing to "
+                          f"{new_cap}")
+                    params, aux = G.grow_capacity(params, aux, new_cap)
+                    opt_state = _grow_opt_state(opt_state, params)
+            if iteration % opt.opacity_reset_interval == 0 or (
+                    cfg.white_background
+                    and iteration == opt.densify_from_iter):
+                params, opt_state = stage1.reset_opacity_step(
+                    params, opt_state)
+        state.update(params=params, aux=aux, opt_state=opt_state)
+        callback(iteration, metrics)
+    return params, aux, opt_state
+
+
+def _grow_opt_state(opt_state, params):
+    from ..train.optim import AdamState
+    zeros = jax.tree.map(jnp.zeros_like, params)
+
+    def pad_tree(tree):
+        def pad(leaf, z):
+            if leaf.ndim >= 1 and z.shape[0] > leaf.shape[0]:
+                return z.at[:leaf.shape[0]].set(leaf)
+            return leaf
+        return jax.tree.map(pad, tree, zeros)
+
+    return AdamState(mu=pad_tree(opt_state.mu), nu=pad_tree(opt_state.nu),
+                     count=opt_state.count)
+
+
+def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
+                spatial_lr_scale, extent, first_iter, state, callback):
+    rng = np.random.default_rng(0)
+    stack = []
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if not stack:
+            stack = list(rng.permutation(len(views)))
+        view = views[stack.pop()]
+        params, aux, opt_state, env, env_state, metrics = stage2.train_step(
+            params, aux, opt_state, env, env_state, vis, view,
+            jnp.asarray(iteration), cfg=cfg, opt=opt,
+            spatial_lr_scale=spatial_lr_scale)
+        state.update(params=params, aux=aux, opt_state=opt_state, env=env,
+                     env_state=env_state)
+        callback(iteration, metrics)
+    return params, aux, opt_state, env, env_state
+
+
+def evaluate(scene, params, aux, env, vis, pipe, model_cfg, args) -> None:
+    """Final test metrics (train.py eval_render analogue)."""
+    from ..losses import ssim as ssim_fn
+    test_cams = scene.get_test_cameras()
+    cfg = raster_config(test_cams, 5, model_cfg.white_background)
+    bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+    psnrs, ssims = [], []
+    for cam in test_cams:
+        view = cam.view_inputs()
+        res = render(view, params, aux.active, cfg, bg)
+        psnrs.append(float(psnr_fn(res["render"][None], view.image[None])
+                           .mean()))
+        ssims.append(float(ssim_fn(res["render"], view.image)))
+    print(f"[EVAL] test PSNR {np.mean(psnrs):.3f}  SSIM {np.mean(ssims):.4f}")
+    with open(os.path.join(model_cfg.model_path, "metric_test.txt"), "w") as f:
+        f.write(f"psnr: {np.mean(psnrs)}\nssim: {np.mean(ssims)}\n")
+
+
+def main(argv=None):
+    parser = build_parser("relightable3dgaussian_tpu trainer")
+    parser.add_argument("-t", "--type", choices=["render", "neilf"],
+                        default="render")
+    parser.add_argument("-c", "--checkpoint", default=None)
+    parser.add_argument("--capacity", type=int, default=0)
+    parser.add_argument("--max_init_points", type=int, default=0)
+    parser.add_argument("--buffer_multiple", type=int, default=0)
+    parser.add_argument("--chunk", type=int, default=0)
+    parser.add_argument("--max_chunks_per_tile", type=int, default=0)
+    parser.add_argument("--max_tiles_per_gaussian", type=int, default=0)
+    parser.add_argument("--save_interval", type=int, default=5000)
+    parser.add_argument("--checkpoint_interval", type=int, default=5000)
+    parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    np.random.seed(args.seed)
+    training(args)
+
+
+if __name__ == "__main__":
+    main()

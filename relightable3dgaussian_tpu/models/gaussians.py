@@ -443,6 +443,35 @@ def reset_opacity(params: GaussianParams, opt_moments: tuple[Any, Any]):
     return params.replace(opacity=new_op), (mu, nu)
 
 
+def grow_capacity(params: GaussianParams, aux: GaussianAux, new_capacity: int):
+    """Pad all per-point arrays to a larger capacity (host-side; triggers
+    re-jit of downstream steps). The functional replacement for the
+    reference's unbounded tensor growth during densification."""
+    P = params.capacity
+    assert new_capacity >= P
+
+    def pad(leaf):
+        if leaf.ndim >= 1 and leaf.shape[0] == P:
+            pad_shape = (new_capacity - P,) + leaf.shape[1:]
+            return jnp.concatenate(
+                [leaf, jnp.zeros(pad_shape, leaf.dtype)], axis=0)
+        return leaf
+
+    new_params = jax.tree.map(pad, params)
+    # Padded rotations must stay valid quaternions.
+    new_params = new_params.replace(
+        rotation=new_params.rotation.at[P:, 0].set(1.0),
+        normal=new_params.normal.at[P:, 2].set(1.0))
+    new_aux = GaussianAux(
+        active=jnp.concatenate(
+            [aux.active, jnp.zeros(new_capacity - P, bool)]),
+        **{k: jnp.concatenate([getattr(aux, k),
+                               jnp.zeros(new_capacity - P)])
+           for k in ["max_radii2d", "xyz_grad_accum", "normal_grad_accum",
+                     "denom", "weights_accum"]})
+    return new_params, new_aux
+
+
 # ---------------------------------------------------------------------------
 # Composition / transforms (host-side utilities for relighting)
 # ---------------------------------------------------------------------------

@@ -107,6 +107,24 @@ class EnvLight(NamedTuple):
         return equirect_query(self.envmap, dirs, t)
 
 
+def query_light(light, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch a direction query to either light model."""
+    if isinstance(light, DirectLightParams):
+        return direct_light(light, dirs)
+    if isinstance(light, EnvLight):
+        return light.direct_light(dirs)
+    raise TypeError(f"unknown light type {type(light)}")
+
+
+def light_image(light) -> jnp.ndarray:
+    """The environment image (activated) for logging / TV regularization."""
+    if isinstance(light, DirectLightParams):
+        return get_env(light)
+    if isinstance(light, EnvLight):
+        return light.envmap
+    raise TypeError(f"unknown light type {type(light)}")
+
+
 def load_env_light(path: str, scale: float = 1.0) -> EnvLight:
     """Load an HDR (.exr via OpenEXR if available, else imageio) or LDR image
     as a linear envmap."""

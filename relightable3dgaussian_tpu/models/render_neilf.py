@@ -22,7 +22,7 @@ from ..train.config import OptimizationConfig
 from ..utils.graphics import fibonacci_sphere_sampling, rgb_to_srgb
 from ..utils.image import psnr
 from . import gaussians as G
-from .lights import DirectLightParams, direct_light, get_env
+from .lights import DirectLightParams, light_image, query_light
 from .render import ViewInputs
 
 # Feature channel layouts (after the 3 color channels handled by rasterize):
@@ -68,9 +68,14 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 view: ViewInputs, cfg: RasterConfig, bg_color: jnp.ndarray,
                 env: DirectLightParams, vis: VisibilityCache,
                 is_training: bool,
-                mean2d_offset: jnp.ndarray | None = None) -> dict[str, Any]:
+                mean2d_offset: jnp.ndarray | None = None,
+                base_color_scale: jnp.ndarray | None = None) -> dict[str, Any]:
     cam = view.cam
     base_color = G.get_base_color(params)
+    if base_color_scale is not None:
+        # Global per-channel albedo rescale used by the relighting benchmark
+        # (reference gaussian_model.py:225, eval_relighting_syn4.py:95-105).
+        base_color = base_color * base_color_scale[None, :]
     roughness = G.get_roughness(params)
     normal = G.get_normal(params)
     viewdirs = cam.campos[None, :] - params.xyz
@@ -79,7 +84,7 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
 
     pbr, extras = rendering_equation(
         base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
-        G.get_incidents(params), lambda d: direct_light(env, d),
+        G.get_incidents(params), lambda d: query_light(env, d),
         vis.visibility, vis.incident_dirs, vis.incident_areas)
 
     xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
@@ -140,7 +145,7 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         "diffuse": rgb_to_srgb(r_diffuse),
         "visibility": r_vis,
         "diffuse_light": extras["diffuse_light"],
-        "env": get_env(env),
+        "env": light_image(env),
     }
     pbr_img = r_pbr * out.opacity + (1 - out.opacity) * bg_color[:, None, None]
     results["pbr"] = rgb_to_srgb(pbr_img)
@@ -157,7 +162,7 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
             "global_lights": rgb_to_srgb(r_global),
         })
         dirs_px = pixel_directions(cam, cfg.height, cfg.width)  # [H, W, 3]
-        env_px = jnp.moveaxis(direct_light(env, dirs_px), -1, 0)
+        env_px = jnp.moveaxis(query_light(env, dirs_px), -1, 0)
         results["render_env"] = (out.color
                                  + (1 - out.opacity) * rgb_to_srgb(env_px))
         results["pbr_env"] = rgb_to_srgb(
@@ -247,7 +252,7 @@ def calculate_loss(view: ViewInputs, params: G.GaussianParams,
         loss = loss + opt.lambda_light_smooth * lls
 
     if opt.lambda_env_smooth > 0:
-        env_img = jnp.moveaxis(get_env(env), -1, 0)
+        env_img = jnp.moveaxis(light_image(env), -1, 0)
         les = losses.tv_loss(env_img)
         tb["loss_env_smooth"] = les
         loss = loss + opt.lambda_env_smooth * les
@@ -266,10 +271,11 @@ def render_neilf(view: ViewInputs, params: G.GaussianParams,
                  bg_color: jnp.ndarray, env: DirectLightParams,
                  vis: VisibilityCache, opt: OptimizationConfig | None = None,
                  is_training: bool = False,
-                 mean2d_offset: jnp.ndarray | None = None) -> dict[str, Any]:
+                 mean2d_offset: jnp.ndarray | None = None,
+                 base_color_scale: jnp.ndarray | None = None) -> dict[str, Any]:
     """Stage-2 entry point (reference `render_neilf`, neilf.py:321-336)."""
     results = render_view(params, active, view, cfg, bg_color, env, vis,
-                          is_training, mean2d_offset)
+                          is_training, mean2d_offset, base_color_scale)
     if is_training:
         assert opt is not None
         loss, tb = calculate_loss(view, params, active, results, opt, env)

@@ -46,12 +46,15 @@ def mean_sq_dist_to_3nn(points: jnp.ndarray, window: int = 32,
     if active_mask is None:
         active_mask = jnp.ones((n,), bool)
     big = jnp.float32(1e10)
+    if n < 2:
+        return jnp.ones((n,), points.dtype)  # degenerate template clouds
+    k = min(3, n - 1)
     if n <= 4 * window:
         d2 = ((points[:, None] - points[None, :]) ** 2).sum(-1)
         d2 = jnp.where(jnp.eye(n, dtype=bool), big, d2)
         d2 = jnp.where(active_mask[None, :], d2, big)
-        small3 = -jax.lax.top_k(-d2, 3)[0]
-        return small3.mean(-1)
+        smallk = -jax.lax.top_k(-d2, k)[0]
+        return smallk.mean(-1)
 
     code = morton_codes(points).astype(jnp.int64) if False else morton_codes(points)
     # Inactive points sort to the end so they never pollute windows.
