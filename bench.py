@@ -32,7 +32,13 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     size = 800
     n = 100_000
-    cfg = RasterConfig(height=size, width=size, feature_dim=5, sh_degree=3)
+    # Render config: full pair budget for this (dense, worst-case) scene,
+    # no weight accumulation. Train config keeps the training defaults.
+    cfg = RasterConfig(height=size, width=size, feature_dim=5, sh_degree=3,
+                       buffer_multiple=20, compute_weights=False,
+                       compute_pseudo_normal=False)
+    cfg_train = RasterConfig(height=size, width=size, feature_dim=5,
+                             sh_degree=3, buffer_multiple=12)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
@@ -77,7 +83,7 @@ def main():
     try:
         t0 = time.time()
         out = train_step(params, aux, opt_state, view, jnp.asarray(1),
-                         jax.random.PRNGKey(0), cfg=cfg, opt=opt,
+                         jax.random.PRNGKey(0), cfg=cfg_train, opt=opt,
                          spatial_lr_scale=1.0)
         jax.block_until_ready(out[0])
         log(f"train compile+first: {time.time() - t0:.1f}s")
@@ -85,7 +91,7 @@ def main():
         for i in range(5):
             out = train_step(out[0], out[1], out[2], view,
                              jnp.asarray(i + 2), jax.random.PRNGKey(i),
-                             cfg=cfg, opt=opt, spatial_lr_scale=1.0)
+                             cfg=cfg_train, opt=opt, spatial_lr_scale=1.0)
         jax.block_until_ready(out[0])
         train_dt = (time.time() - t0) / 5
         log(f"train: {train_dt * 1e3:.1f} ms/it = {1 / train_dt:.2f} it/s")

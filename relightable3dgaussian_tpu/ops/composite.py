@@ -143,9 +143,12 @@ def composite(binning: Binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
         T_at = item_prefix[:, None, :] * ex_cum            # [G, C, tt]
         w = jnp.where(T_at >= 1e-4, alpha * T_at, 0.0)     # [G, C, tt]
 
-        # Blend: [G, tt, C] @ [G, C, A] on the MXU.
+        # Blend: [G, tt, C] @ [G, C, A] on the MXU. HIGHEST precision: the
+        # TPU default decomposes f32 matmuls into single-pass bf16, which is
+        # far below the reference's f32 accumulation.
         contrib = jnp.einsum("gct,gca->gta", w, attrs[gid],
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         image = image.at[tiles].add(contrib, mode="drop")
         weights = weights.at[gid.reshape(-1)].add(
             w.sum(-1).reshape(-1), mode="drop")

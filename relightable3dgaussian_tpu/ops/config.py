@@ -28,6 +28,13 @@ class RasterConfig:
     scale_modifier: float = 1.0
     compute_pseudo_normal: bool = True
     white_background: bool = False
+    # Use the Pallas compositor kernel as the forward primal on TPU (the
+    # backward always differentiates the jnp compositor; both agree
+    # numerically). Ignored on non-TPU backends.
+    use_pallas: bool = True
+    # Accumulate per-gaussian blend weights (needed for training/densify
+    # stats; pure rendering can skip the extra DMA round-trips).
+    compute_weights: bool = True
 
     @property
     def tiles_x(self) -> int:

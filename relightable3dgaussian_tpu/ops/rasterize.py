@@ -39,7 +39,18 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
     attrs = jnp.concatenate(
         [prep.rgb, features, prep.depth[:, None],
          jnp.ones((P, 1), means3d.dtype)], axis=-1)
-    out = composite(binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, cfg)
+
+    import jax as _jax
+    if cfg.use_pallas and _jax.default_backend() == "tpu":
+        from .composite_pallas import composite_fast
+        image, weights, n_contrib_tiles = composite_fast(
+            binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, cfg)
+        from .composite import CompositeOut
+        out = CompositeOut(image=image, weights=weights,
+                           n_contrib=n_contrib_tiles)
+    else:
+        out = composite(binning, prep.mean2d, prep.conic, opacity[:, 0],
+                        attrs, cfg)
 
     img = tiles_to_image(out.image, cfg)        # [A, H, W]
     S = features.shape[-1]
