@@ -151,16 +151,77 @@ def training(args) -> None:
             print(f"Loaded env light from {env_ckpt}")
         cfg = raster_config(train_cams, TRAIN_FEATURE_DIM,
                             model_cfg.white_background, args=args)
+        from ..models.render_neilf import EVAL_FEATURE_DIM
+        import dataclasses as _dc
+        cfg_eval = _dc.replace(cfg, feature_dim=EVAL_FEATURE_DIM)
     else:
         cfg = raster_config(train_cams, 5, model_cfg.white_background,
                             args=args)
+        cfg_eval = cfg
 
     ema = {}
+    from ..utils.logging import MetricsLogger, debug_dump, save_training_vis
+    logger = MetricsLogger(model_cfg.model_path)
+    test_views = None
+
+    def training_report(iteration):
+        """Periodic train/test PSNR (reference training_report,
+        train.py:209-273)."""
+        nonlocal test_views
+        test_cams = scene.get_test_cameras()
+        if not test_cams:
+            return
+        if test_views is None:
+            test_views = [c.view_inputs() for c in test_cams[:4]]
+        import jax.numpy as jnp_
+        bg = jnp_.ones(3) if cfg.white_background else jnp_.zeros(3)
+        psnrs = []
+        for tv in test_views:
+            if is_pbr:
+                res = render_neilf(tv, state["params"], state["aux"].active,
+                                   cfg_eval, bg, state["env"], vis,
+                                   is_training=False)
+                img = res["pbr"]
+            else:
+                res = render(tv, state["params"], state["aux"].active,
+                             cfg_eval, bg)
+                img = res["render"]
+            psnrs.append(float(psnr_fn(img[None], tv.image[None]).mean()))
+        logger.scalars(iteration, {"test_psnr": float(np.mean(psnrs))})
+        print(f"[ITER {iteration}] test PSNR {np.mean(psnrs):.3f} "
+              f"({len(psnrs)} views)")
 
     def callback(iteration, metrics):
         for k in ("psnr", "psnr_pbr"):
             if k in metrics:
                 ema[k] = 0.4 * float(metrics[k]) + 0.6 * ema.get(k, 0.0)
+        loss_val = float(metrics["loss"])
+        if not np.isfinite(loss_val):
+            dump = debug_dump(
+                os.path.join(model_cfg.model_path, f"snapshot_{iteration}"),
+                params=state["params"], aux=state["aux"])
+            raise FloatingPointError(
+                f"non-finite loss at iteration {iteration}; inputs dumped "
+                f"to {dump}")
+        logger.scalars(iteration, metrics if "densify" not in metrics else
+                       {k: v for k, v in metrics.items() if k != "densify"})
+        if (pipe.save_training_vis
+                and iteration % pipe.save_training_vis_iteration == 0):
+            import jax.numpy as jnp_
+            bg = jnp_.ones(3) if cfg.white_background else jnp_.zeros(3)
+            view0 = views[0]
+            if is_pbr:
+                res = render_neilf(view0, state["params"],
+                                   state["aux"].active, cfg_eval, bg,
+                                   state["env"], vis, is_training=False)
+            else:
+                res = render(view0, state["params"], state["aux"].active,
+                             cfg_eval, bg)
+            save_training_vis(
+                os.path.join(model_cfg.model_path, "visualize",
+                             f"{iteration:06d}.png"), res)
+        if iteration % args.test_interval == 0:
+            training_report(iteration)
         if iteration % args.log_interval == 0 or iteration == first_iter + 1:
             n_act = int(np.asarray(metrics.get("n_active", 0)))
             msg = (f"iter {iteration:6d} loss {float(metrics['loss']):.4f} "
@@ -319,6 +380,7 @@ def main(argv=None):
     parser.add_argument("--save_interval", type=int, default=5000)
     parser.add_argument("--checkpoint_interval", type=int, default=5000)
     parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--test_interval", type=int, default=2500)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     np.random.seed(args.seed)
