@@ -283,16 +283,22 @@ def _fast_fwd(binning, mean2d, conic, opacity, attrs, cfg):
 
 
 def _fast_bwd(cfg, residuals, cotangents):
-    from .composite import composite as composite_jnp
     binning, mean2d, conic, opacity, attrs = residuals
     g_img, g_weights, _ = cotangents
 
-    def f(mean2d, conic, opacity, attrs):
-        out = composite_jnp(binning, mean2d, conic, opacity, attrs, cfg)
-        return out.image, out.weights
+    if jax.default_backend() == "tpu":
+        from .composite_pallas_bwd import composite_pallas_backward
+        g_mean2d, g_conic, g_opacity, g_attrs = composite_pallas_backward(
+            binning, mean2d, conic, opacity, attrs, g_img, g_weights, cfg)
+    else:
+        from .composite import composite as composite_jnp
 
-    _, vjp = jax.vjp(f, mean2d, conic, opacity, attrs)
-    g_mean2d, g_conic, g_opacity, g_attrs = vjp((g_img, g_weights))
+        def f(mean2d, conic, opacity, attrs):
+            out = composite_jnp(binning, mean2d, conic, opacity, attrs, cfg)
+            return out.image, out.weights
+
+        _, vjp = jax.vjp(f, mean2d, conic, opacity, attrs)
+        g_mean2d, g_conic, g_opacity, g_attrs = vjp((g_img, g_weights))
     g_binning = jax.tree.map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
     return g_binning, g_mean2d, g_conic, g_opacity, g_attrs

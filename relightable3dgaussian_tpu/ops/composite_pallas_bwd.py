@@ -1,0 +1,308 @@
+"""Pallas TPU compositor BACKWARD kernel.
+
+Replaces autodiff through the jnp scan compositor for training. The CUDA
+reference walks each pixel back-to-front with saved final_T
+(/root/reference/r3dg-rasterization/cuda_rasterizer/backward.cu:400-614);
+here the suffix sums of that recurrence are rewritten as
+(total - inclusive prefix), so the backward is two FORWARD-order chunk walks
+per tile reusing the forward kernel's machinery (prefix cumprod scan, MXU
+matmuls, chunk-aligned DMAs):
+
+  phase A: recompute w and accumulate  S_tot(px) = Σ_k w_k d_k,
+           d_k(px) = a_k · g_img(px) + g_w[k]
+  phase B: recompute w and its prefix P_i(px) = Σ_{k<=i} w_k d_k, then
+
+    dL/dα_i = [T_i>=ε] T_i d_i - (S_tot - P_i) / (1 - α_i)
+
+  which chains into (mean2d, conic, opacity) via the alpha/power formulas,
+  reduced over pixels per chunk entry; dL/da_i = Σ_px w_i g_img is one more
+  MXU matmul. Per-slot gradients are written with read-modify-write DMAs
+  (boundary rows are shared between tiles) and segment-added per gaussian
+  outside the kernel.
+
+Gradient parity with jax.vjp of ops/composite.py is asserted by tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import RasterConfig
+from .tiles import Binning
+
+# geometry sublanes: mean_x, mean_y, conic_a, conic_b, conic_c, opacity,
+#                    g_weights, -
+GEOM_FIELDS = 8
+# gradient sublanes: g_mean_x, g_mean_y, g_con_a, g_con_b, g_con_c, g_op, -, -
+GRAD_FIELDS = 8
+
+
+def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
+                gattr_init, gimg_ref, ggeom_hbm, gattr_hbm,
+                geom_vmem, attrs_vmem, grad_vmem, gattr_vmem,
+                sem_g, sem_a, sem_w, sem_x, *, cfg: RasterConfig):
+    del ggeom_init, gattr_init  # aliased outputs (pre-zeroed)
+    tile = cfg.tile
+    tt = tile * tile
+    C = cfg.chunk
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+
+    tile_x = (t % cfg.tiles_x).astype(jnp.float32)
+    tile_y = (t // cfg.tiles_x).astype(jnp.float32)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    px = tile_x * tile + (p_idx % tile).astype(jnp.float32)
+    py = tile_y * tile + (p_idx // tile).astype(jnp.float32)
+
+    row0 = start // C
+    n_chunks = jnp.minimum(pl.cdiv(end, C) - row0, cfg.max_chunks_per_tile)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    g_img = gimg_ref[0]                           # [tt, A_pad]
+
+    def load_chunk(c):
+        row = row0 + c
+        cp_g = pltpu.make_async_copy(geom_hbm.at[row], geom_vmem, sem_g)
+        cp_a = pltpu.make_async_copy(attrs_hbm.at[row], attrs_vmem, sem_a)
+        cp_g.start()
+        cp_a.start()
+        cp_g.wait()
+        cp_a.wait()
+
+    def chunk_terms(c, T):
+        """Recompute the forward quantities for chunk c.
+
+        Returns (alpha, ok, dx, dy, T_at, w, d, cum_last) — all [tt, C]
+        except cum_last [tt, 1].
+        """
+        row = row0 + c
+        slot0 = row * C
+        geom = geom_vmem[...]
+        mean_x = geom[0:1, :]
+        mean_y = geom[1:2, :]
+        con_a = geom[2:3, :]
+        con_b = geom[3:4, :]
+        con_c = geom[4:5, :]
+        opac = geom[5:6, :]
+        g_w = geom[6:7, :]
+
+        dx = mean_x - px
+        dy = mean_y - py
+        power = (-0.5 * (con_a * dx * dx + con_c * dy * dy)
+                 - con_b * dx * dy)
+        raw = opac * jnp.exp(power)
+        alpha = jnp.minimum(0.99, raw)
+        lane = slot0 + lane_f
+        ok = ((power <= 0.0) & (alpha >= 1.0 / 255.0)
+              & (lane >= start) & (lane < end))
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        cum = 1.0 - alpha
+        d_ = 1
+        while d_ < C:
+            shifted = pltpu.roll(cum, d_, axis=1)
+            cum = cum * jnp.where(lane_f >= d_, shifted, 1.0)
+            d_ *= 2
+        ex_prefix = jnp.where(lane_f >= 1, pltpu.roll(cum, 1, axis=1), 1.0)
+        T_at = T * ex_prefix
+        w = jnp.where(T_at >= 1e-4, alpha * T_at, 0.0)
+
+        # d_k(px) = a_k . g_img(px) + g_w[k]
+        d = jax.lax.dot_general(
+            g_img, attrs_vmem[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + g_w  # [tt, C]
+        return alpha, ok, dx, dy, raw, T_at, w, d, cum[:, C - 1:C]
+
+    # ---- phase A: S_tot(px) = sum over all entries of w * d --------------
+    def body_a(state):
+        c, T, s_tot = state
+        load_chunk(c)
+        _, _, _, _, _, _, w, d, cum_last = chunk_terms(c, T)
+        s_tot = s_tot + jnp.sum(w * d, axis=1, keepdims=True)
+        return c + 1, T * cum_last, s_tot
+
+    def cond_a(state):
+        c, T, _ = state
+        return (c < n_chunks) & (jnp.max(T) >= 1e-4)
+
+    _, _, s_tot = jax.lax.while_loop(
+        cond_a, body_a,
+        (jnp.int32(0), jnp.ones((tt, 1), jnp.float32),
+         jnp.zeros((tt, 1), jnp.float32)))
+
+    # ---- phase B: per-entry gradients ------------------------------------
+    def body_b(state):
+        c, T, prefix = state
+        row = row0 + c
+        load_chunk(c)
+        # prefetch the RMW gradient rows while recomputing
+        cp_wg = pltpu.make_async_copy(ggeom_hbm.at[row], grad_vmem, sem_w)
+        cp_wa = pltpu.make_async_copy(gattr_hbm.at[row], gattr_vmem, sem_x)
+        cp_wg.start()
+        cp_wa.start()
+
+        alpha, ok, dx, dy, raw, T_at, w, d, cum_last = chunk_terms(c, T)
+
+        wd = w * d
+        # inclusive prefix sum of wd over lanes (Hillis-Steele add scan)
+        pre = wd
+        d_ = 1
+        while d_ < C:
+            shifted = pltpu.roll(pre, d_, axis=1)
+            pre = pre + jnp.where(lane_f >= d_, shifted, 0.0)
+            d_ *= 2
+        incl = prefix + pre                       # global inclusive prefix
+        suffix = s_tot - incl                     # Σ_{k>i} w_k d_k
+
+        blend = (T_at >= 1e-4)
+        g_alpha = (jnp.where(blend, T_at * d, 0.0)
+                   - suffix / (1.0 - alpha))
+        # alpha was zeroed where ~ok → its (1-alpha)=1 and T_at*d masked;
+        # suffix term must also vanish for masked entries:
+        g_alpha = jnp.where(ok, g_alpha, 0.0)
+
+        # chain through alpha = min(0.99, opac * exp(power))
+        uncapped = raw < 0.99
+        g_raw = jnp.where(uncapped, g_alpha, 0.0)
+        geom = geom_vmem[...]
+        opac = geom[5:6, :]
+        con_a = geom[2:3, :]
+        con_b = geom[3:4, :]
+        con_c = geom[4:5, :]
+        exp_pow = jnp.where(opac > 0, raw / jnp.maximum(opac, 1e-12), 0.0)
+        g_op = jnp.sum(g_raw * exp_pow, axis=0, keepdims=True)   # [1, C]
+        g_power = g_raw * raw                                     # [tt, C]
+        g_ca = jnp.sum(g_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        g_cb = jnp.sum(g_power * (-dx * dy), axis=0, keepdims=True)
+        g_cc = jnp.sum(g_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        g_dx = g_power * (-(con_a * dx + con_b * dy))
+        g_dy = g_power * (-(con_c * dy + con_b * dx))
+        g_mx = jnp.sum(g_dx, axis=0, keepdims=True)
+        g_my = jnp.sum(g_dy, axis=0, keepdims=True)
+
+        # attrs grad: Σ_px w g_img  → [A_pad, C]
+        g_attr = jax.lax.dot_general(
+            g_img, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        zeros1 = jnp.zeros_like(g_op)
+        grad_rows = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, zeros1, zeros1], axis=0)
+
+        cp_wg.wait()
+        cp_wa.wait()
+        grad_vmem[...] += grad_rows
+        gattr_vmem[...] += g_attr
+        out_g = pltpu.make_async_copy(grad_vmem, ggeom_hbm.at[row], sem_w)
+        out_a = pltpu.make_async_copy(gattr_vmem, gattr_hbm.at[row], sem_x)
+        out_g.start()
+        out_a.start()
+        out_g.wait()
+        out_a.wait()
+
+        return c + 1, T * cum_last, prefix + pre[:, C - 1:C]
+
+    def cond_b(state):
+        c, T, _ = state
+        return (c < n_chunks) & (jnp.max(T) >= 1e-4)
+
+    jax.lax.while_loop(
+        cond_b, body_b,
+        (jnp.int32(0), jnp.ones((tt, 1), jnp.float32),
+         jnp.zeros((tt, 1), jnp.float32)))
+
+
+def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
+                              attrs, g_img, g_weights, cfg: RasterConfig,
+                              interpret: bool = False):
+    """Cotangents (g_mean2d, g_conic, g_opacity, g_attrs) via the Pallas
+    backward kernel.
+
+    Args:
+      g_img: [num_tiles, tt, A] cotangent of the composited image.
+      g_weights: [P] cotangent of the per-gaussian blend weights.
+    """
+    P, A = attrs.shape
+    A_pad = -(-A // 8) * 8
+    B = binning.sorted_gauss.shape[0]
+    C = cfg.chunk
+    tt = cfg.tile * cfg.tile
+    n_rows = -(-(B + 1) // C) + 1
+    Bp = n_rows * C
+
+    gid = binning.sorted_gauss
+    zeros = jnp.zeros((B, 1), jnp.float32)
+    geom = jnp.concatenate(
+        [mean2d[gid], conic[gid], opacity[gid][:, None],
+         g_weights[gid][:, None], zeros], axis=1)  # [B, 8]
+    battrs = jnp.concatenate(
+        [attrs[gid], jnp.zeros((B, A_pad - A))], axis=1)
+    geom = jnp.concatenate(
+        [geom, jnp.zeros((Bp - B, GEOM_FIELDS))], 0).reshape(
+            n_rows, C, GEOM_FIELDS).transpose(0, 2, 1)
+    battrs = jnp.concatenate(
+        [battrs, jnp.zeros((Bp - B, A_pad))], 0).reshape(
+            n_rows, C, A_pad).transpose(0, 2, 1)
+    g_img_pad = jnp.concatenate(
+        [g_img, jnp.zeros((cfg.num_tiles, tt, A_pad - A))], axis=-1)
+    ggeom_init = jnp.zeros((n_rows, GRAD_FIELDS, C), jnp.float32)
+    gattr_init = jnp.zeros((n_rows, A_pad, C), jnp.float32)
+
+    kernel = functools.partial(_bwd_kernel, cfg=cfg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GEOM_FIELDS, C), jnp.float32),
+            pltpu.VMEM((A_pad, C), jnp.float32),
+            pltpu.VMEM((GRAD_FIELDS, C), jnp.float32),
+            pltpu.VMEM((A_pad, C), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    ggeom, gattr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, GRAD_FIELDS, C), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, A_pad, C), jnp.float32),
+        ],
+        # zero inits alias the outputs so skipped rows stay zero
+        # (inputs incl. 2 prefetch args: ggeom_init=4, gattr_init=5)
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(binning.tile_start, binning.tile_end, geom, battrs, ggeom_init,
+      gattr_init, g_img_pad)
+
+    # [rows, F, C] → per-slot rows [B, F] → segment-add per gaussian.
+    ggeom_slots = ggeom.transpose(0, 2, 1).reshape(Bp, GRAD_FIELDS)[:B]
+    gattr_slots = gattr.transpose(0, 2, 1).reshape(Bp, A_pad)[:B, :A]
+    g_mean2d = jnp.zeros((P, 2)).at[gid].add(ggeom_slots[:, 0:2],
+                                             mode="drop")
+    g_conic = jnp.zeros((P, 3)).at[gid].add(ggeom_slots[:, 2:5], mode="drop")
+    g_opacity = jnp.zeros((P,)).at[gid].add(ggeom_slots[:, 5], mode="drop")
+    g_attrs = jnp.zeros((P, A)).at[gid].add(gattr_slots, mode="drop")
+    return g_mean2d, g_conic, g_opacity, g_attrs
