@@ -134,18 +134,24 @@ def main(argv=None):
     for name, cams in splits:
         if not cams:
             continue
+        import jax
         if is_pbr:
             cfg = raster_config(cams, EVAL_FEATURE_DIM,
                                 model_cfg.white_background)
 
-            def render_one(cam, cfg=cfg):
-                return render_neilf(cam.view_inputs(), params, active, cfg,
-                                    bg, env, vis, is_training=False)
+            @jax.jit
+            def _render_view(view):
+                return render_neilf(view, params, active, cfg, bg, env, vis,
+                                    is_training=False)
         else:
             cfg = raster_config(cams, 5, model_cfg.white_background)
 
-            def render_one(cam, cfg=cfg):
-                return render(cam.view_inputs(), params, active, cfg, bg)
+            @jax.jit
+            def _render_view(view):
+                return render(view, params, active, cfg, bg)
+
+        def render_one(cam):
+            return _render_view(cam.view_inputs())
 
         render_set(out_dir, name, cams, render_one,
                    lambda cam: cam.view_inputs().image)

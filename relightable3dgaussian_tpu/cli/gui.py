@@ -119,6 +119,7 @@ class GUI:
 
 
 def main(argv=None):
+    import jax
     import jax.numpy as jnp
     from ..train.config import ModelConfig, PipelineConfig
     from .arguments import build_parser, extract, get_combined_args
@@ -153,15 +154,23 @@ def main(argv=None):
         cfg = RasterConfig(height=args.size, width=args.size,
                            feature_dim=EVAL_FEATURE_DIM, sh_degree=3)
 
+        @jax.jit
+        def _render_view(view):
+            return render_neilf(view, params, active, cfg, bg, env, vis,
+                                is_training=False)
+
         def render_fn(camera):
-            return render_neilf(camera.view_inputs(), params, active, cfg,
-                                bg, env, vis, is_training=False)
+            return _render_view(camera.view_inputs())
     else:
         cfg = RasterConfig(height=args.size, width=args.size, feature_dim=5,
                            sh_degree=3)
 
+        @jax.jit
+        def _render_view(view):
+            return render(view, params, active, cfg, bg)
+
         def render_fn(camera):
-            return render(camera.view_inputs(), params, active, cfg, bg)
+            return _render_view(camera.view_inputs())
 
     center = np.asarray(params.xyz)[np.asarray(active)].mean(0)
     gui = GUI(args.size, args.size, render_fn, mode=args.mode, center=center,

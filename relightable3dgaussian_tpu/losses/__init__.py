@@ -34,15 +34,32 @@ def _depthwise_conv(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
         feature_group_count=c)[0]
 
 
+def _gaussian_blur(img: jnp.ndarray, g1d: np.ndarray) -> jnp.ndarray:
+    """Separable gaussian filter ([C, H, W]): two 1-D depthwise convs
+    (11+11 taps instead of 121 — the window is rank-1)."""
+    c = img.shape[0]
+    kv = jnp.asarray(g1d, jnp.float32).reshape(1, 1, -1, 1)
+    kh = jnp.asarray(g1d, jnp.float32).reshape(1, 1, 1, -1)
+    x = img[None]
+    for k in (kv, kh):
+        x = jax.lax.conv_general_dilated(
+            x, jnp.tile(k, (c, 1, 1, 1)), (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c)
+    return x[0]
+
+
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM over an image pair ([C, H, W]), gaussian window sigma=1.5."""
-    w = _gaussian_window(window_size)
-    mu1 = _depthwise_conv(img1, w)
-    mu2 = _depthwise_conv(img2, w)
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+               / (2 * 1.5 ** 2))
+    g = (g / g.sum()).astype(np.float32)
+    mu1 = _gaussian_blur(img1, g)
+    mu2 = _gaussian_blur(img2, g)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1 = _depthwise_conv(img1 * img1, w) - mu1_sq
-    sigma2 = _depthwise_conv(img2 * img2, w) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, w) - mu12
+    sigma1 = _gaussian_blur(img1 * img1, g) - mu1_sq
+    sigma2 = _gaussian_blur(img2 * img2, g) - mu2_sq
+    sigma12 = _gaussian_blur(img1 * img2, g) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1 + sigma2 + c2))

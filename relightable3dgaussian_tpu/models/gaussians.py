@@ -124,6 +124,20 @@ def inverse_roughness(y: jnp.ndarray) -> jnp.ndarray:
     return inverse_sigmoid((y - 0.09) / 0.9)
 
 
+def get_covariance(p: GaussianParams, scaling_modifier: float = 1.0):
+    """Packed [P, 6] 3D covariance (gaussian_model.py get_covariance)."""
+    from ..ops.projection import covariance3d_packed
+    return covariance3d_packed(get_scaling(p), get_rotation(p),
+                               scaling_modifier)
+
+
+def get_inverse_covariance(p: GaussianParams, scaling_modifier: float = 1.0):
+    """Packed [P, 6] inverse 3D covariance (used by the ray tracer)."""
+    from ..ops.ray_trace import inverse_covariance_packed
+    return inverse_covariance_packed(get_scaling(p) * scaling_modifier,
+                                     get_rotation(p))
+
+
 # ---------------------------------------------------------------------------
 # Creation
 # ---------------------------------------------------------------------------

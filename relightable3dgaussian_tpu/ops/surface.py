@@ -8,6 +8,7 @@ the resulting cross-product normal into world space.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .camera import CameraParams
@@ -24,11 +25,14 @@ def surface_xyz_from_depth(depth: jnp.ndarray, cam: CameraParams) -> jnp.ndarray
 
 
 def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with edge replication (matches the CUDA kernel's index clamping)."""
+    """Shift with edge replication (matches the CUDA kernel's index
+    clamping). Pad + static slice — TPU-friendlier than index gathers."""
     h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    pad = [(1, 1), (1, 1)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    return jax.lax.slice(
+        padded, (1 + dy, 1 + dx) + (0,) * (img.ndim - 2),
+        (1 + dy + h, 1 + dx + w) + img.shape[2:])
 
 
 def pseudo_normal_from_surface(surface: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:
