@@ -42,9 +42,9 @@ from .tiles import Binning
 GEOM_FIELDS = 8
 
 
-def _kernel(start_ref, end_ref, geom_hbm, attrs_hbm, wsum_init_hbm,
+def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm,
             img_ref, count_ref, wsum_hbm,
-            geom_vmem, attrs_vmem, wsum_vmem, sem_g, sem_a, sem_w,
+            data_vmem, wsum_vmem, sem_g, sem_w,
             *, cfg: RasterConfig, with_weights: bool):
     del wsum_init_hbm  # aliased to wsum_hbm: pre-zeroed slots
     tile = cfg.tile
@@ -70,21 +70,17 @@ def _kernel(start_ref, end_ref, geom_hbm, attrs_hbm, wsum_init_hbm,
     count_ref[...] = jnp.zeros(count_ref.shape, count_ref.dtype)
 
     def fetch(c):
-        """Start the double-buffered geom/attrs copies for chunk c."""
+        """Start the double-buffered combined-data copy for chunk c."""
         slot = jax.lax.rem(c, 2)
         row = row0 + c
-        pltpu.make_async_copy(geom_hbm.at[row], geom_vmem.at[slot],
+        pltpu.make_async_copy(data_hbm.at[row], data_vmem.at[slot],
                               sem_g.at[slot]).start()
-        pltpu.make_async_copy(attrs_hbm.at[row], attrs_vmem.at[slot],
-                              sem_a.at[slot]).start()
 
     def wait_fetch(c):
         slot = jax.lax.rem(c, 2)
         row = row0 + c
-        pltpu.make_async_copy(geom_hbm.at[row], geom_vmem.at[slot],
+        pltpu.make_async_copy(data_hbm.at[row], data_vmem.at[slot],
                               sem_g.at[slot]).wait()
-        pltpu.make_async_copy(attrs_hbm.at[row], attrs_vmem.at[slot],
-                              sem_a.at[slot]).wait()
 
     @pl.when(n_chunks > 0)
     def _():
@@ -105,13 +101,13 @@ def _kernel(start_ref, end_ref, geom_hbm, attrs_hbm, wsum_init_hbm,
         def _():
             fetch(c + 1)
 
-        geom = geom_vmem[slot]                    # [8, C]
-        mean_x = geom[0:1, :]                     # [1, C]
-        mean_y = geom[1:2, :]
-        con_a = geom[2:3, :]
-        con_b = geom[3:4, :]
-        con_c = geom[4:5, :]
-        opac = geom[5:6, :]
+        data = data_vmem[slot]                    # [8 + A_pad, C]
+        mean_x = data[0:1, :]                     # [1, C]
+        mean_y = data[1:2, :]
+        con_a = data[2:3, :]
+        con_b = data[3:4, :]
+        con_c = data[4:5, :]
+        opac = data[5:6, :]
 
         dx = mean_x - px                          # [tt, C]
         dy = mean_y - py
@@ -141,7 +137,7 @@ def _kernel(start_ref, end_ref, geom_hbm, attrs_hbm, wsum_init_hbm,
         # HIGHEST precision: the default single-pass bf16 decomposition is
         # far below the reference's f32 accumulation.
         contrib = jax.lax.dot_general(
-            w, attrs_vmem[slot],
+            w, data[GEOM_FIELDS:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)  # [tt, A]
@@ -195,19 +191,17 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
     Bp = n_rows * C
 
     gid = binning.sorted_gauss
-    zeros = jnp.zeros((B, 1), jnp.float32)
-    geom = jnp.concatenate(
-        [mean2d[gid], conic[gid], opacity[gid][:, None], zeros, zeros],
-        axis=1)                                   # [B, 8]
-    battrs = jnp.concatenate(
-        [attrs[gid], jnp.zeros((B, A_pad - A))], axis=1)  # [B, A_pad]
-    # chunk-transposed layouts: [rows, fields, C]
-    geom = jnp.concatenate(
-        [geom, jnp.zeros((Bp - B, GEOM_FIELDS))], 0).reshape(
-            n_rows, C, GEOM_FIELDS).transpose(0, 2, 1)
-    battrs = jnp.concatenate(
-        [battrs, jnp.zeros((Bp - B, A_pad))], 0).reshape(
-            n_rows, C, A_pad).transpose(0, 2, 1)
+    # Build ONE per-gaussian table, then ONE gather + relayout; padding-slot
+    # rows (beyond every tile range) are masked in the kernel, so out-of-
+    # range values are irrelevant.
+    P_zeros = jnp.zeros((P, 1), jnp.float32)
+    table = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], P_zeros, P_zeros,
+         attrs, jnp.zeros((P, A_pad - A))], axis=1)   # [P, 8 + A_pad]
+    gid_pad = jnp.concatenate(
+        [gid, jnp.zeros((Bp - B,), gid.dtype)], axis=0)
+    data = table[gid_pad].reshape(
+        n_rows, C, GEOM_FIELDS + A_pad).transpose(0, 2, 1)
     wsum_init = jnp.zeros((n_rows, 1, C), jnp.float32)
 
     kernel = functools.partial(_kernel, cfg=cfg,
@@ -216,7 +210,6 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -228,10 +221,8 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, GEOM_FIELDS, C), jnp.float32),
-            pltpu.VMEM((2, A_pad, C), jnp.float32),
+            pltpu.VMEM((2, GEOM_FIELDS + A_pad, C), jnp.float32),
             pltpu.VMEM((1, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -244,11 +235,11 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
             jax.ShapeDtypeStruct((cfg.num_tiles, tt, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_rows, 1, C), jnp.float32),
         ],
-        # wsum_init (input 4 incl. the 2 prefetch args) aliases the wsum
+        # wsum_init (input 3 incl. the 2 prefetch args) aliases the wsum
         # output so slots skipped by early exit stay zero.
-        input_output_aliases={4: 2},
+        input_output_aliases={3: 2},
         interpret=interpret,
-    )(binning.tile_start, binning.tile_end, geom, battrs, wsum_init)
+    )(binning.tile_start, binning.tile_end, data, wsum_init)
 
     # Per-gaussian weights: only slots covered by some tile's walk are
     # defined (skipped slots stay zero via the aliased init).

@@ -41,10 +41,10 @@ GEOM_FIELDS = 8
 GRAD_FIELDS = 8
 
 
-def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
+def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
                 gattr_init, gimg_ref, ggeom_hbm, gattr_hbm,
-                geom_vmem, attrs_vmem, grad_vmem, gattr_vmem,
-                sem_g, sem_a, sem_w, sem_x, *, cfg: RasterConfig):
+                data_vmem, grad_vmem, gattr_vmem,
+                sem_g, sem_w, sem_x, *, cfg: RasterConfig):
     del ggeom_init, gattr_init  # aliased outputs (pre-zeroed)
     tile = cfg.tile
     tt = tile * tile
@@ -66,12 +66,9 @@ def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
 
     def load_chunk(c):
         row = row0 + c
-        cp_g = pltpu.make_async_copy(geom_hbm.at[row], geom_vmem, sem_g)
-        cp_a = pltpu.make_async_copy(attrs_hbm.at[row], attrs_vmem, sem_a)
+        cp_g = pltpu.make_async_copy(data_hbm.at[row], data_vmem, sem_g)
         cp_g.start()
-        cp_a.start()
         cp_g.wait()
-        cp_a.wait()
 
     def chunk_terms(c, T):
         """Recompute the forward quantities for chunk c.
@@ -81,14 +78,14 @@ def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
         """
         row = row0 + c
         slot0 = row * C
-        geom = geom_vmem[...]
-        mean_x = geom[0:1, :]
-        mean_y = geom[1:2, :]
-        con_a = geom[2:3, :]
-        con_b = geom[3:4, :]
-        con_c = geom[4:5, :]
-        opac = geom[5:6, :]
-        g_w = geom[6:7, :]
+        data = data_vmem[...]
+        mean_x = data[0:1, :]
+        mean_y = data[1:2, :]
+        con_a = data[2:3, :]
+        con_b = data[3:4, :]
+        con_c = data[4:5, :]
+        opac = data[5:6, :]
+        g_w = data[6:7, :]
 
         dx = mean_x - px
         dy = mean_y - py
@@ -113,7 +110,7 @@ def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
 
         # d_k(px) = a_k . g_img(px) + g_w[k]
         d = jax.lax.dot_general(
-            g_img, attrs_vmem[...],
+            g_img, data_vmem[GEOM_FIELDS:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST) + g_w  # [tt, C]
@@ -148,6 +145,7 @@ def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
         cp_wa.start()
 
         alpha, ok, dx, dy, raw, T_at, w, d, cum_last = chunk_terms(c, T)
+        data = data_vmem[...]
 
         wd = w * d
         # inclusive prefix sum of wd over lanes (Hillis-Steele add scan)
@@ -170,11 +168,10 @@ def _bwd_kernel(start_ref, end_ref, geom_hbm, attrs_hbm, ggeom_init,
         # chain through alpha = min(0.99, opac * exp(power))
         uncapped = raw < 0.99
         g_raw = jnp.where(uncapped, g_alpha, 0.0)
-        geom = geom_vmem[...]
-        opac = geom[5:6, :]
-        con_a = geom[2:3, :]
-        con_b = geom[3:4, :]
-        con_c = geom[4:5, :]
+        opac = data[5:6, :]
+        con_a = data[2:3, :]
+        con_b = data[3:4, :]
+        con_c = data[4:5, :]
         exp_pow = jnp.where(opac > 0, raw / jnp.maximum(opac, 1e-12), 0.0)
         g_op = jnp.sum(g_raw * exp_pow, axis=0, keepdims=True)   # [1, C]
         g_power = g_raw * raw                                     # [tt, C]
@@ -239,18 +236,15 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
     Bp = n_rows * C
 
     gid = binning.sorted_gauss
-    zeros = jnp.zeros((B, 1), jnp.float32)
-    geom = jnp.concatenate(
-        [mean2d[gid], conic[gid], opacity[gid][:, None],
-         g_weights[gid][:, None], zeros], axis=1)  # [B, 8]
-    battrs = jnp.concatenate(
-        [attrs[gid], jnp.zeros((B, A_pad - A))], axis=1)
-    geom = jnp.concatenate(
-        [geom, jnp.zeros((Bp - B, GEOM_FIELDS))], 0).reshape(
-            n_rows, C, GEOM_FIELDS).transpose(0, 2, 1)
-    battrs = jnp.concatenate(
-        [battrs, jnp.zeros((Bp - B, A_pad))], 0).reshape(
-            n_rows, C, A_pad).transpose(0, 2, 1)
+    # One per-gaussian table → one gather + relayout.
+    P_zeros = jnp.zeros((P, 1), jnp.float32)
+    table = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], g_weights[:, None], P_zeros,
+         attrs, jnp.zeros((P, A_pad - A))], axis=1)  # [P, 8 + A_pad]
+    gid_pad = jnp.concatenate(
+        [gid, jnp.zeros((Bp - B,), gid.dtype)], axis=0)
+    data = table[gid_pad].reshape(
+        n_rows, C, GEOM_FIELDS + A_pad).transpose(0, 2, 1)
     g_img_pad = jnp.concatenate(
         [g_img, jnp.zeros((cfg.num_tiles, tt, A_pad - A))], axis=-1)
     ggeom_init = jnp.zeros((n_rows, GRAD_FIELDS, C), jnp.float32)
@@ -264,7 +258,6 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -273,11 +266,9 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GEOM_FIELDS, C), jnp.float32),
-            pltpu.VMEM((A_pad, C), jnp.float32),
+            pltpu.VMEM((GEOM_FIELDS + A_pad, C), jnp.float32),
             pltpu.VMEM((GRAD_FIELDS, C), jnp.float32),
             pltpu.VMEM((A_pad, C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -291,10 +282,10 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
             jax.ShapeDtypeStruct((n_rows, A_pad, C), jnp.float32),
         ],
         # zero inits alias the outputs so skipped rows stay zero
-        # (inputs incl. 2 prefetch args: ggeom_init=4, gattr_init=5)
-        input_output_aliases={4: 0, 5: 1},
+        # (inputs incl. 2 prefetch args: ggeom_init=3, gattr_init=4)
+        input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
-    )(binning.tile_start, binning.tile_end, geom, battrs, ggeom_init,
+    )(binning.tile_start, binning.tile_end, data, ggeom_init,
       gattr_init, g_img_pad)
 
     # [rows, F, C] → per-slot rows [B, F] → segment-add per gaussian.
