@@ -98,6 +98,49 @@ def main():
     except Exception as e:  # keep the headline metric robust
         log(f"train bench failed: {e}")
 
+    # Secondary: stage-2 (PBR) training step with a synthetic visibility
+    # cache (tracing runs once per training job, not per step).
+    try:
+        import dataclasses
+        from relightable3dgaussian_tpu.models.render_neilf import (
+            TRAIN_FEATURE_DIM, VisibilityCache)
+        from relightable3dgaussian_tpu.models.lights import init_direct_light
+        from relightable3dgaussian_tpu.train import stage2
+        from relightable3dgaussian_tpu.train.optim import init_array_adam
+        from relightable3dgaussian_tpu.utils.graphics import \
+            fibonacci_sphere_sampling
+        s_num = 24
+        params2 = __import__(
+            "relightable3dgaussian_tpu.models.gaussians",
+            fromlist=["add_pbr_params"]).add_pbr_params(params)
+        dirs, areas = fibonacci_sphere_sampling(
+            jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1)), s_num)
+        vis = VisibilityCache(visibility=jnp.ones((n, s_num, 1)),
+                              incident_dirs=dirs, incident_areas=areas)
+        env = init_direct_light(16, 3.0)
+        env_state = init_array_adam(env.env)
+        cfg2 = dataclasses.replace(cfg_train,
+                                   feature_dim=TRAIN_FEATURE_DIM)
+        opt2 = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
+        o2 = init_adam(params2)
+        t0 = time.time()
+        out2 = stage2.train_step(params2, aux, o2, env, env_state, vis,
+                                 view, jnp.asarray(1), cfg=cfg2, opt=opt2,
+                                 spatial_lr_scale=1.0)
+        jax.block_until_ready(out2[0])
+        log(f"train-pbr compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for i in range(5):
+            out2 = stage2.train_step(out2[0], out2[1], out2[2], out2[3],
+                                     out2[4], vis, view, jnp.asarray(i + 2),
+                                     cfg=cfg2, opt=opt2, spatial_lr_scale=1.0)
+        jax.block_until_ready(out2[0])
+        dt2 = (time.time() - t0) / 5
+        log(f"train-pbr (S={s_num}): {dt2 * 1e3:.1f} ms/it = "
+            f"{1 / dt2:.2f} it/s")
+    except Exception as e:
+        log(f"pbr train bench failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "render_fps_800x800_100k",
         "value": round(fps, 3),

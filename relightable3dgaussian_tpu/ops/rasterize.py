@@ -41,7 +41,10 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
          jnp.ones((P, 1), means3d.dtype)], axis=-1)
 
     import jax as _jax
-    if cfg.use_pallas and _jax.default_backend() == "tpu":
+    # The Pallas kernels need the chunk (DMA lane dim) 128-aligned; smaller
+    # debug/test chunk sizes fall back to the jnp compositor.
+    if (cfg.use_pallas and cfg.chunk % 128 == 0
+            and _jax.default_backend() == "tpu"):
         from .composite_pallas import composite_fast
         image, weights, n_contrib_tiles = composite_fast(
             binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, cfg)
