@@ -24,7 +24,6 @@ from ..models.render_neilf import (EVAL_FEATURE_DIM, render_neilf,
                                    update_visibility)
 from ..scene import Scene, ply_io
 from ..train import checkpoint as ckpt
-from ..train.optim import init_adam
 from ..utils.image import psnr as psnr_fn, visualize_depth
 from .arguments import build_parser, extract, get_combined_args
 from ..train.config import ModelConfig, PipelineConfig
@@ -111,8 +110,7 @@ def main(argv=None):
 
     env = vis = None
     if is_pbr:
-        from ..models.lights import DirectLightParams, init_direct_light
-        from ..train.optim import init_array_adam
+        from ..models.lights import init_direct_light
         vis = update_visibility(params, active, pipe.sample_num)
         env_path = (os.path.join(os.path.dirname(args.checkpoint),
                                  "env_light_" +

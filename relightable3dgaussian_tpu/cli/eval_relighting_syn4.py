@@ -21,7 +21,6 @@ import numpy as np
 
 from ..losses import ssim as ssim_fn
 from ..losses.lpips import available as lpips_available, lpips
-from ..models.render import ViewInputs
 from ..models.render_neilf import (EVAL_FEATURE_DIM, render_neilf,
                                    update_visibility)
 from ..models.lights import load_env_light

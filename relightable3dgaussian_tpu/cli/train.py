@@ -13,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import jax
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import gaussians as G
-from ..models.lights import DirectLightParams, init_direct_light
+from ..models.lights import init_direct_light
 from ..models.render import ViewInputs, render
 from ..models.render_neilf import (TRAIN_FEATURE_DIM, render_neilf,
                                    update_visibility)
@@ -29,7 +28,6 @@ from ..ops.config import RasterConfig
 from ..scene import Scene
 from ..train import checkpoint as ckpt
 from ..train import stage1, stage2
-from ..train.config import OptimizationConfig
 from ..train.optim import init_adam, init_array_adam
 from ..utils.image import psnr as psnr_fn
 from .arguments import build_parser, extract_all, save_cfg_args

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import losses
-from ..ops.camera import CameraParams, pixel_directions
+from ..ops.camera import pixel_directions
 from ..ops.config import RasterConfig
 from ..ops.rasterize import rasterize
 from ..ops.ray_trace import build_bvh, trace_visibility

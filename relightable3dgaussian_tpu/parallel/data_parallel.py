@@ -12,8 +12,6 @@ radii take the max.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -22,7 +20,7 @@ from ..models import gaussians as G
 from ..models.render import ViewInputs, render
 from ..ops.config import RasterConfig
 from ..train.config import OptimizationConfig
-from ..train.optim import AdamState, adam_step, learning_rates
+from ..train.optim import adam_step, learning_rates
 
 DP_AXIS = "dp"
 

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from ..ops.camera import CameraParams
 from ..ops.config import RasterConfig
-from ..ops.projection import preprocess
 from ..ops.rasterize import rasterize
 
 

@@ -7,8 +7,6 @@ loop handling the densify / opacity-reset / SH-warmup schedule.
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
