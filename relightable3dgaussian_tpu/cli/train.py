@@ -253,14 +253,19 @@ def training(args) -> None:
     state = dict(params=params, aux=aux, opt_state=opt_state, env=env,
                  env_state=env_state)
 
+    n_devices = getattr(args, "n_devices", 1) or 1
+    if n_devices > 1 and len(jax.devices()) < n_devices:
+        raise SystemExit(f"--n_devices {n_devices} requested but only "
+                         f"{len(jax.devices())} devices are visible")
     if not is_pbr:
         params, aux, opt_state = _run_stage1(
             params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
-            extent, state, callback)
+            extent, state, callback, n_devices=n_devices)
     else:
         params, aux, opt_state, env, env_state = _run_stage2(
             params, aux, opt_state, env, env_state, vis, views, cfg, opt,
-            spatial_lr_scale, extent, first_iter, state, callback)
+            spatial_lr_scale, extent, first_iter, state, callback,
+            n_devices=n_devices)
 
     state.update(params=params, aux=aux, opt_state=opt_state, env=env,
                  env_state=env_state)
@@ -271,19 +276,50 @@ def training(args) -> None:
         evaluate(scene, params, aux, env, vis, pipe, model_cfg, args)
 
 
+def _make_batcher(views, rng, n_devices, mesh):
+    """Returns a fn popping n_devices views per call as a sharded batch."""
+    from ..parallel import shard_views
+    from ..parallel.data_parallel import stack_views
+    stack = []
+
+    def next_batch():
+        batch = []
+        for _ in range(n_devices):
+            if not stack:
+                stack.extend(rng.permutation(len(views)))
+            batch.append(views[stack.pop()])
+        return shard_views(stack_views(batch), mesh)
+
+    return next_batch
+
+
 def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
-                extent, state, callback):
+                extent, state, callback, n_devices=1):
     rng = np.random.default_rng(0)
     stack = []
     key = jax.random.PRNGKey(0)
+    use_dp = n_devices > 1
+    if use_dp:
+        from ..parallel import make_dp_train_step, make_mesh, replicate
+        mesh = make_mesh(jax.devices()[:n_devices])
+        print(f"Data-parallel training over {n_devices} devices "
+              f"({n_devices} cameras per step)")
+        dp_step = make_dp_train_step(mesh, cfg=cfg, opt=opt,
+                                     spatial_lr_scale=spatial_lr_scale)
+        params, aux, opt_state = replicate((params, aux, opt_state), mesh)
+        next_batch = _make_batcher(views, rng, n_devices, mesh)
     for iteration in range(1, opt.iterations + 1):
-        if not stack:
-            stack = list(rng.permutation(len(views)))
-        view = views[stack.pop()]
         key, k1, k2 = jax.random.split(key, 3)
-        params, aux, opt_state, metrics = stage1.train_step(
-            params, aux, opt_state, view, jnp.asarray(iteration), k1,
-            cfg=cfg, opt=opt, spatial_lr_scale=spatial_lr_scale)
+        if use_dp:
+            params, aux, opt_state, metrics = dp_step(
+                params, aux, opt_state, next_batch(), jnp.asarray(iteration))
+        else:
+            if not stack:
+                stack = list(rng.permutation(len(views)))
+            view = views[stack.pop()]
+            params, aux, opt_state, metrics = stage1.train_step(
+                params, aux, opt_state, view, jnp.asarray(iteration), k1,
+                cfg=cfg, opt=opt, spatial_lr_scale=spatial_lr_scale)
         if iteration < opt.densify_until_iter:
             if (iteration > opt.densify_from_iter
                     and iteration % opt.densification_interval == 0):
@@ -329,17 +365,35 @@ def _grow_opt_state(opt_state, params):
 
 
 def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
-                spatial_lr_scale, extent, first_iter, state, callback):
+                spatial_lr_scale, extent, first_iter, state, callback,
+                n_devices=1):
     rng = np.random.default_rng(0)
     stack = []
+    use_dp = n_devices > 1
+    if use_dp:
+        from ..parallel import make_mesh, replicate
+        from ..parallel.data_parallel import make_dp_train_step_stage2
+        mesh = make_mesh(jax.devices()[:n_devices])
+        print(f"Data-parallel stage-2 training over {n_devices} devices")
+        dp_step = make_dp_train_step_stage2(
+            mesh, cfg=cfg, opt=opt, spatial_lr_scale=spatial_lr_scale)
+        params, aux, opt_state, env, env_state, vis = replicate(
+            (params, aux, opt_state, env, env_state, vis), mesh)
+        next_batch = _make_batcher(views, rng, n_devices, mesh)
     for iteration in range(first_iter + 1, opt.iterations + 1):
-        if not stack:
-            stack = list(rng.permutation(len(views)))
-        view = views[stack.pop()]
-        params, aux, opt_state, env, env_state, metrics = stage2.train_step(
-            params, aux, opt_state, env, env_state, vis, view,
-            jnp.asarray(iteration), cfg=cfg, opt=opt,
-            spatial_lr_scale=spatial_lr_scale)
+        if use_dp:
+            (params, aux, opt_state, env, env_state,
+             metrics) = dp_step(params, aux, opt_state, env, env_state, vis,
+                                next_batch(), jnp.asarray(iteration))
+        else:
+            if not stack:
+                stack = list(rng.permutation(len(views)))
+            view = views[stack.pop()]
+            (params, aux, opt_state, env, env_state,
+             metrics) = stage2.train_step(
+                params, aux, opt_state, env, env_state, vis, view,
+                jnp.asarray(iteration), cfg=cfg, opt=opt,
+                spatial_lr_scale=spatial_lr_scale)
         state.update(params=params, aux=aux, opt_state=opt_state, env=env,
                      env_state=env_state)
         callback(iteration, metrics)
@@ -369,6 +423,9 @@ def main(argv=None):
     parser.add_argument("-t", "--type", choices=["render", "neilf"],
                         default="render")
     parser.add_argument("-c", "--checkpoint", default=None)
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="data-parallel camera batch over the first N "
+                             "devices (1 = single-device loop)")
     parser.add_argument("--capacity", type=int, default=0)
     parser.add_argument("--max_init_points", type=int, default=0)
     parser.add_argument("--buffer_multiple", type=int, default=0)

@@ -1,2 +1,3 @@
-from .data_parallel import (make_dp_train_step, make_mesh,  # noqa: F401
-                            replicate, shard_views)
+from .data_parallel import (combine_stat_contribs,  # noqa: F401
+                            make_dp_train_step, make_dp_train_step_stage2,
+                            make_mesh, replicate, shard_views)

@@ -76,16 +76,9 @@ def make_dp_train_step(mesh: Mesh, *, cfg: RasterConfig,
         # Per-view stat contributions BEFORE gradient averaging (the
         # reference accumulates per-view grad norms, not norms of summed
         # grads), then combine: sums for weights/norms/denom, max for radii.
-        contribs = G.densification_contribs(
+        contribs = combine_stat_contribs(G.densification_contribs(
             g_m2d, g_params.normal, results["weights"][:, 0],
-            results["radii"])
-        contribs = G.StatContribs(
-            weights=jax.lax.psum(contribs.weights, DP_AXIS),
-            xyz_grad_norm=jax.lax.psum(contribs.xyz_grad_norm, DP_AXIS),
-            normal_grad_norm=jax.lax.psum(contribs.normal_grad_norm, DP_AXIS),
-            denom=jax.lax.psum(contribs.denom, DP_AXIS),
-            radii=jax.lax.pmax(contribs.radii, DP_AXIS),
-        )
+            results["radii"]))
 
         # Mean gradients across the camera batch (n_dev=1 reduces to the
         # reference's single-camera step).
@@ -111,5 +104,82 @@ def make_dp_train_step(mesh: Mesh, *, cfg: RasterConfig,
     @jax.jit
     def step(params, aux, opt_state, views_batch, iteration):
         return sharded(params, aux, opt_state, views_batch, iteration)
+
+    return step
+
+
+def combine_stat_contribs(contribs: "G.StatContribs") -> "G.StatContribs":
+    """psum sums / pmax radii over the DP axis (call inside shard_map)."""
+    return G.StatContribs(
+        weights=jax.lax.psum(contribs.weights, DP_AXIS),
+        xyz_grad_norm=jax.lax.psum(contribs.xyz_grad_norm, DP_AXIS),
+        normal_grad_norm=jax.lax.psum(contribs.normal_grad_norm, DP_AXIS),
+        denom=jax.lax.psum(contribs.denom, DP_AXIS),
+        radii=jax.lax.pmax(contribs.radii, DP_AXIS),
+    )
+
+
+def make_dp_train_step_stage2(mesh: Mesh, *, cfg: RasterConfig,
+                              opt: OptimizationConfig,
+                              spatial_lr_scale: float):
+    """Data-parallel stage-2 (NeILF/PBR) train step over a camera batch.
+
+    Same combination semantics as the stage-1 DP step (pmean of gradients —
+    including the learnable env map's — psum of densification stats), with
+    the visibility cache replicated. Returns step(params, aux, opt_state,
+    env, env_state, vis, views_batch, iteration) → (params, aux, opt_state,
+    env, env_state, metrics).
+    """
+    from ..models.lights import DirectLightParams
+    from ..models.render_neilf import render_neilf
+    from ..train.optim import array_adam_step
+
+    def per_device(params, aux, opt_state, env, env_state, vis, views,
+                   iteration):
+        view = jax.tree.map(lambda x: x[0], views)
+        bg = (jnp.ones((3,)) if cfg.white_background else jnp.zeros((3,)))
+        m2d0 = jnp.zeros((params.capacity, 2))
+
+        def loss_fn(p, e, m2d):
+            results = render_neilf(view, p, aux.active, cfg, bg, e, vis, opt,
+                                   is_training=True, mean2d_offset=m2d)
+            return results["loss"], results
+
+        (loss, results), (g_params, g_env, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(params, env, m2d0)
+        g_params = G.mask_grads(g_params, aux.active)
+
+        contribs = combine_stat_contribs(G.densification_contribs(
+            g_m2d, g_params.normal, results["weights"][:, 0],
+            results["radii"]))
+        g_params = jax.lax.pmean(g_params, DP_AXIS)
+        g_env = jax.lax.pmean(g_env, DP_AXIS)
+
+        lrs = learning_rates(opt, iteration, spatial_lr_scale)
+        new_params, new_opt_state = adam_step(params, g_params, opt_state,
+                                              lrs)
+        new_env_arr, new_env_state = array_adam_step(
+            env.env, g_env.env, env_state, opt.env_lr)
+        new_aux = G.apply_stat_contribs(aux, contribs)
+
+        metrics = {k: jax.lax.pmean(v, DP_AXIS)
+                   for k, v in results["tb_dict"].items()}
+        metrics["loss"] = jax.lax.pmean(loss, DP_AXIS)
+        metrics["light_mean"] = results["env"].mean()
+        metrics["n_active"] = aux.active.sum()
+        return (new_params, new_aux, new_opt_state,
+                DirectLightParams(env=new_env_arr), new_env_state, metrics)
+
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(DP_AXIS), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, aux, opt_state, env, env_state, vis, views_batch,
+             iteration):
+        return sharded(params, aux, opt_state, env, env_state, vis,
+                       views_batch, iteration)
 
     return step
