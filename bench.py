@@ -12,6 +12,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from relightable3dgaussian_tpu.utils.compile_cache import \
+    enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

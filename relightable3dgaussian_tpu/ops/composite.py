@@ -89,6 +89,14 @@ def composite(binning: Binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
                         constant_values=cfg.num_tiles)
     work_offset = jnp.pad(binning.work_offset, (0, pad))
 
+    # Rank space: pre-sort per-gaussian tables by depth once ([P] gathers)
+    # so buffer slots index them via sorted_rank (no per-slot id gather).
+    order = binning.depth_order
+    mean2d_ds = mean2d[order]
+    conic_ds = conic[order]
+    opacity_ds = opacity[order]
+    attrs_ds = attrs[order]
+
     # Pixel coordinates of each in-tile pixel, relative to the tile origin.
     lx = jnp.arange(cfg.tile, dtype=jnp.float32)
     px_local = jnp.tile(lx, cfg.tile)                      # [tt]
@@ -105,11 +113,13 @@ def composite(binning: Binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
         in_range = slots < binning.tile_end[
             jnp.minimum(tiles, cfg.num_tiles - 1)][:, None]
         in_range = in_range & (tiles < cfg.num_tiles)[:, None]
-        gid = binning.sorted_gauss[jnp.clip(slots, 0, binning.sorted_gauss.shape[0] - 1)]
+        B = binning.sorted_rank.shape[0]
+        gid = jnp.clip(binning.sorted_rank[jnp.clip(slots, 0, B - 1)],
+                       0, P - 1)
 
-        xy = mean2d[gid]                                   # [G, C, 2]
-        con = conic[gid]                                   # [G, C, 3]
-        op = opacity[gid]                                  # [G, C]
+        xy = mean2d_ds[gid]                                # [G, C, 2]
+        con = conic_ds[gid]                                # [G, C, 3]
+        op = opacity_ds[gid]                               # [G, C]
 
         tile_x = (tiles % cfg.tiles_x).astype(jnp.float32)
         tile_y = (tiles // cfg.tiles_x).astype(jnp.float32)
@@ -146,7 +156,7 @@ def composite(binning: Binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
         # Blend: [G, tt, C] @ [G, C, A] on the MXU. HIGHEST precision: the
         # TPU default decomposes f32 matmuls into single-pass bf16, which is
         # far below the reference's f32 accumulation.
-        contrib = jnp.einsum("gct,gca->gta", w, attrs[gid],
+        contrib = jnp.einsum("gct,gca->gta", w, attrs_ds[gid],
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
         image = image.at[tiles].add(contrib, mode="drop")
@@ -165,9 +175,11 @@ def composite(binning: Binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
         jnp.zeros((P,), jnp.float32),
         jnp.zeros((cfg.num_tiles, tt), jnp.int32),
     )
-    (_, _, image, weights, counts), _ = jax.lax.scan(
+    (_, _, image, weights_ds, counts), _ = jax.lax.scan(
         jax.checkpoint(group_body), init,
         jnp.arange(n_groups, dtype=jnp.int32))
+    # Weights were accumulated in rank space; map back to storage order.
+    weights = weights_ds[binning.rank_of]
     return CompositeOut(image=image, weights=weights, n_contrib=counts)
 
 

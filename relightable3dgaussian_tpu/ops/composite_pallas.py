@@ -184,23 +184,26 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
     # HBM→VMEM DMA blocks need a multiple-of-8 sublane dim (f32 tiling);
     # pad the attribute axis and slice the result after the kernel.
     A_pad = -(-A // 8) * 8
-    B = binning.sorted_gauss.shape[0]
+    B = binning.sorted_rank.shape[0]
     C = cfg.chunk
     tt = cfg.tile * cfg.tile
     n_rows = -(-(B + 1) // C) + 1  # spare row for aligned overruns
     Bp = n_rows * C
 
-    gid = binning.sorted_gauss
-    # Build ONE per-gaussian table, then ONE gather + relayout; padding-slot
-    # rows (beyond every tile range) are masked in the kernel, so out-of-
-    # range values are irrelevant.
+    # Build ONE per-gaussian table, pre-sort it by depth ([P]-row gather),
+    # then ONE rank-indexed gather + relayout — rank indices come straight
+    # from key arithmetic, avoiding a [B]-sized id gather (~15 ms/frame at
+    # bench scale). Padding-slot rows (beyond every tile range) are masked
+    # in the kernel, so out-of-range values are irrelevant.
     P_zeros = jnp.zeros((P, 1), jnp.float32)
     table = jnp.concatenate(
         [mean2d, conic, opacity[:, None], P_zeros, P_zeros,
          attrs, jnp.zeros((P, A_pad - A))], axis=1)   # [P, 8 + A_pad]
-    gid_pad = jnp.concatenate(
-        [gid, jnp.zeros((Bp - B,), gid.dtype)], axis=0)
-    data = table[gid_pad].reshape(
+    table_ds = table[binning.depth_order]
+    rank_pad = jnp.concatenate(
+        [jnp.clip(binning.sorted_rank, 0, P - 1),
+         jnp.zeros((Bp - B,), binning.sorted_rank.dtype)], axis=0)
+    data = table_ds[rank_pad].reshape(
         n_rows, C, GEOM_FIELDS + A_pad).transpose(0, 2, 1)
     wsum_init = jnp.zeros((n_rows, 1, C), jnp.float32)
 
@@ -242,11 +245,13 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
     )(binning.tile_start, binning.tile_end, data, wsum_init)
 
     # Per-gaussian weights: only slots covered by some tile's walk are
-    # defined (skipped slots stay zero via the aliased init).
+    # defined (skipped slots stay zero via the aliased init). Accumulate in
+    # rank space, then map back to storage order with one [P] gather.
     if with_weights:
         wsum_flat = wsum.reshape(-1)[:B]
-        weights = jnp.zeros((P,), jnp.float32).at[gid].add(wsum_flat,
-                                                           mode="drop")
+        weights_ds = jnp.zeros((P,), jnp.float32).at[
+            binning.sorted_rank].add(wsum_flat, mode="drop")
+        weights = weights_ds[binning.rank_of]
     else:
         weights = jnp.zeros((P,), jnp.float32)
     return img[:, :, :A], weights, count[:, :, 0]

@@ -229,21 +229,22 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
     """
     P, A = attrs.shape
     A_pad = -(-A // 8) * 8
-    B = binning.sorted_gauss.shape[0]
+    B = binning.sorted_rank.shape[0]
     C = cfg.chunk
     tt = cfg.tile * cfg.tile
     n_rows = -(-(B + 1) // C) + 1
     Bp = n_rows * C
 
-    gid = binning.sorted_gauss
-    # One per-gaussian table → one gather + relayout.
+    # One per-gaussian table, depth-sorted, rank-indexed (see the forward).
     P_zeros = jnp.zeros((P, 1), jnp.float32)
     table = jnp.concatenate(
         [mean2d, conic, opacity[:, None], g_weights[:, None], P_zeros,
          attrs, jnp.zeros((P, A_pad - A))], axis=1)  # [P, 8 + A_pad]
-    gid_pad = jnp.concatenate(
-        [gid, jnp.zeros((Bp - B,), gid.dtype)], axis=0)
-    data = table[gid_pad].reshape(
+    table_ds = table[binning.depth_order]
+    rank_pad = jnp.concatenate(
+        [jnp.clip(binning.sorted_rank, 0, P - 1),
+         jnp.zeros((Bp - B,), binning.sorted_rank.dtype)], axis=0)
+    data = table_ds[rank_pad].reshape(
         n_rows, C, GEOM_FIELDS + A_pad).transpose(0, 2, 1)
     g_img_pad = jnp.concatenate(
         [g_img, jnp.zeros((cfg.num_tiles, tt, A_pad - A))], axis=-1)
@@ -288,12 +289,17 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
     )(binning.tile_start, binning.tile_end, data, ggeom_init,
       gattr_init, g_img_pad)
 
-    # [rows, F, C] → per-slot rows [B, F] → segment-add per gaussian.
+    # [rows, F, C] → per-slot rows [B, F] → segment-add per RANK, then map
+    # rank space back to storage order with [P] gathers.
+    rank = binning.sorted_rank
+    inv = binning.rank_of
     ggeom_slots = ggeom.transpose(0, 2, 1).reshape(Bp, GRAD_FIELDS)[:B]
     gattr_slots = gattr.transpose(0, 2, 1).reshape(Bp, A_pad)[:B, :A]
-    g_mean2d = jnp.zeros((P, 2)).at[gid].add(ggeom_slots[:, 0:2],
-                                             mode="drop")
-    g_conic = jnp.zeros((P, 3)).at[gid].add(ggeom_slots[:, 2:5], mode="drop")
-    g_opacity = jnp.zeros((P,)).at[gid].add(ggeom_slots[:, 5], mode="drop")
-    g_attrs = jnp.zeros((P, A)).at[gid].add(gattr_slots, mode="drop")
+    g_mean2d = jnp.zeros((P, 2)).at[rank].add(ggeom_slots[:, 0:2],
+                                              mode="drop")[inv]
+    g_conic = jnp.zeros((P, 3)).at[rank].add(ggeom_slots[:, 2:5],
+                                             mode="drop")[inv]
+    g_opacity = jnp.zeros((P,)).at[rank].add(ggeom_slots[:, 5],
+                                             mode="drop")[inv]
+    g_attrs = jnp.zeros((P, A)).at[rank].add(gattr_slots, mode="drop")[inv]
     return g_mean2d, g_conic, g_opacity, g_attrs

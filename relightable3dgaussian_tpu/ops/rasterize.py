@@ -11,6 +11,7 @@ surface_xyz, weights, radii) as one named tuple.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .camera import CameraParams
@@ -34,17 +35,19 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
     H, W = cfg.height, cfg.width
     prep = preprocess(means3d, scales, rotations, shs, colors_precomp, cam,
                       cfg, active_mask, cov3d_precomp, mean2d_offset)
-    binning = bin_gaussians(prep, cfg)
+    # Opacity enables exact (output-identical) per-tile alpha culling; stop
+    # the gradient so the cull decision stays a pure integer selection.
+    binning = bin_gaussians(prep, cfg,
+                            jax.lax.stop_gradient(opacity[:, 0]))
 
     attrs = jnp.concatenate(
         [prep.rgb, features, prep.depth[:, None],
          jnp.ones((P, 1), means3d.dtype)], axis=-1)
 
-    import jax as _jax
     # The Pallas kernels need the chunk (DMA lane dim) 128-aligned; smaller
     # debug/test chunk sizes fall back to the jnp compositor.
     if (cfg.use_pallas and cfg.chunk % 128 == 0
-            and _jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"):
         from .composite_pallas import composite_fast
         image, weights, n_contrib_tiles = composite_fast(
             binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, cfg)

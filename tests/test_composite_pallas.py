@@ -65,3 +65,45 @@ class TestPallasComposite:
         assert float(jnp.abs(img).max()) > 0.1
         assert int((count > 0).sum()) > 100
         assert float(weights.max()) > 0.0
+
+
+class TestAlphaCulling:
+    def test_culled_binning_is_output_identical(self, pipeline):
+        """Per-tile alpha culling never changes the blended image: every
+        culled pair fails the kernels' own alpha >= 1/255 skip rule."""
+        cfg, prep, binning, opac, attrs = pipeline
+        binning_c = bin_gaussians(prep, cfg, opac)
+        dropped = int(binning.num_rendered) - int(binning_c.num_rendered)
+        assert dropped > 0, "culling should remove some sub-threshold pairs"
+
+        ref = composite(binning, prep.mean2d, prep.conic, opac, attrs, cfg)
+        got = composite(binning_c, prep.mean2d, prep.conic, opac, attrs, cfg)
+        np.testing.assert_allclose(np.asarray(got.image),
+                                   np.asarray(ref.image), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.weights),
+                                   np.asarray(ref.weights), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got.n_contrib),
+                                      np.asarray(ref.n_contrib))
+
+    def test_tile_min_power_is_conservative(self, pipeline):
+        """q_min lower-bounds the quadratic at every pixel of the tile."""
+        from relightable3dgaussian_tpu.ops.tiles import _tile_min_power
+        cfg, prep, binning, opac, attrs = pipeline
+        P = prep.mean2d.shape[0]
+        rng = np.random.default_rng(0)
+        idx = rng.choice(P, 32, replace=False)
+        for i in idx:
+            if int(prep.radius[i]) == 0:
+                continue
+            tx = int(prep.rect_min[i, 0])
+            ty = int(prep.rect_min[i, 1])
+            qmin = float(_tile_min_power(
+                prep.mean2d[i:i + 1], prep.conic[i:i + 1],
+                jnp.asarray([[tx]]), jnp.asarray([[ty]]), cfg.tile)[0, 0])
+            xs = np.arange(tx * cfg.tile, tx * cfg.tile + cfg.tile)
+            ys = np.arange(ty * cfg.tile, ty * cfg.tile + cfg.tile)
+            dx = float(prep.mean2d[i, 0]) - xs[None, :]
+            dy = float(prep.mean2d[i, 1]) - ys[:, None]
+            a, b, c = [float(v) for v in prep.conic[i]]
+            q = a * dx ** 2 + 2 * b * dx * dy + c * dy ** 2
+            assert qmin <= q.min() + 1e-3, (qmin, q.min())
