@@ -134,31 +134,13 @@ def load_env_light(path: str, scale: float = 1.0) -> EnvLight:
 
 def _load_image_linear(path: str) -> np.ndarray:
     if path.endswith(".exr"):
-        arr = _read_exr(path)
+        from ..scene.exr import read_exr_rgb
+        arr = read_exr_rgb(path)
+    elif path.endswith(".hdr"):
+        from ..scene.exr import read_hdr
+        arr = read_hdr(path)
     else:
         import imageio.v2 as imageio
         arr = imageio.imread(path)[:, :, :3].astype(np.float32) / 255.0
         arr = np.asarray(srgb_to_rgb(jnp.asarray(arr)))
     return arr[:, :, :3].astype(np.float32)
-
-
-def _read_exr(path: str) -> np.ndarray:
-    try:
-        import imageio.v2 as imageio
-        return np.asarray(imageio.imread(path), np.float32)
-    except Exception:
-        pass
-    try:
-        import OpenEXR
-        import Imath
-        f = OpenEXR.InputFile(path)
-        dw = f.header()["dataWindow"]
-        h = dw.max.y - dw.min.y + 1
-        w = dw.max.x - dw.min.x + 1
-        pt = Imath.PixelType(Imath.PixelType.FLOAT)
-        chans = [np.frombuffer(f.channel(c, pt), np.float32).reshape(h, w)
-                 for c in ("R", "G", "B")]
-        return np.stack(chans, -1)
-    except Exception as e:
-        raise RuntimeError(
-            f"cannot read EXR {path}: no EXR backend available ({e})")

@@ -15,7 +15,7 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "r3dg_native.cpp")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libr3dg_native.so")
-_VERSION = 1
+_VERSION = 2
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -128,4 +128,36 @@ def radix_argsort(keys: np.ndarray) -> np.ndarray:
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(len(keys)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def piz_decode(data: bytes, nx: list[int], ny: list[int]) -> np.ndarray:
+    """Decode one PIZ-compressed EXR scanline chunk (HALF channels).
+
+    Args:
+      data: raw compressed chunk payload.
+      nx, ny: per-channel sample counts (file channel order).
+    Returns:
+      Planar uint16 array (sum(nx*ny) half bit patterns), or raises
+      RuntimeError (no pure-python fallback: PIZ needs the native library).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "PIZ-compressed EXR needs the native library (g++ build failed)")
+    nxa = np.asarray(nx, np.int32)
+    nya = np.asarray(ny, np.int32)
+    total = int((nxa.astype(np.int64) * nya).sum())
+    out = np.empty(total, np.uint16)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.r3dg_piz_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int64(total),
+        nxa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nya.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(nx)))
+    if rc != 0:
+        raise ValueError(f"PIZ chunk decode failed (code {rc})")
     return out

@@ -45,13 +45,16 @@ def save_pfm(path: str, data: np.ndarray) -> None:
 def load_img_rgb(path: str) -> np.ndarray:
     """[H, W, 3or4] float in [0,1]-ish; EXR is tonemapped linear→sRGB
     (unclipped) like the reference loader (scene/utils.py:38-49)."""
-    import imageio.v2 as imageio
     if path.endswith(".exr"):
-        img = np.asarray(imageio.imread(path), np.float32)
-        img = np.array(img)
+        from .exr import read_exr_rgb
+        img = np.array(read_exr_rgb(path), np.float32)
         img[..., :3] = np.asarray(
             rgb_to_srgb(np.asarray(img[..., :3]), clip=False))
         return img
+    if path.endswith(".hdr"):
+        from .exr import read_hdr
+        return np.asarray(read_hdr(path), np.float32)
+    import imageio.v2 as imageio
     img = np.asarray(imageio.imread(path), np.float32) / 255.0
     return img
 
