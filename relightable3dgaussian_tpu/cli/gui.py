@@ -98,24 +98,101 @@ class GUI:
             print(f"frame {i + 1}/{frames} ({1 / max(self.last_dt, 1e-9):.1f}"
                   " FPS)", flush=True)
 
-    def run_window(self) -> None:  # pragma: no cover - needs dearpygui
+    # ---- interactive window (reference gui.py:92-183) ----
+    # Split into setup/step/close so the training loop can embed one GUI
+    # frame per iteration (reference train.py:81-104 `--gui`).
+
+    def setup_window(self) -> None:
         import dearpygui.dearpygui as dpg
+        self._dpg = dpg
         w, h = self.orbit.width, self.orbit.height
         dpg.create_context()
         with dpg.texture_registry():
             dpg.add_raw_texture(w, h, np.zeros((h, w, 3), np.float32),
                                 format=dpg.mvFormat_Float_rgb, tag="_tex")
-        with dpg.window(tag="_win", width=w, height=h):
+        with dpg.window(tag="_win", width=w + 20, height=h + 80):
             dpg.add_image("_tex")
-        dpg.create_viewport(title="relightable3dgaussian_tpu", width=w,
-                            height=h)
+            with dpg.group(horizontal=True):
+                dpg.add_text("mode:")
+                dpg.add_combo([self.mode], default_value=self.mode,
+                              tag="_mode", width=160,
+                              callback=self._on_mode)
+            dpg.add_text("", tag="_fps")
+
+        # Mouse interaction: left-drag orbits, middle-drag pans, wheel zooms
+        # (reference gui.py:262-305 callbacks).
+        with dpg.handler_registry():
+            dpg.add_mouse_drag_handler(
+                button=dpg.mvMouseButton_Left, callback=self._on_orbit)
+            dpg.add_mouse_drag_handler(
+                button=dpg.mvMouseButton_Middle, callback=self._on_pan)
+            dpg.add_mouse_wheel_handler(callback=self._on_zoom)
+
+        dpg.create_viewport(title="relightable3dgaussian_tpu",
+                            width=w + 40, height=h + 120)
         dpg.setup_dearpygui()
         dpg.show_viewport()
-        while dpg.is_dearpygui_running():
-            img = self.render_once()
-            dpg.set_value("_tex", img.astype(np.float32).ravel())
-            dpg.render_dearpygui_frame()
-        dpg.destroy_context()
+        self._last_drag = (0.0, 0.0)
+
+    def _on_mode(self, sender, app_data):
+        self.mode = app_data
+
+    def _on_orbit(self, sender, app_data):
+        _, dx, dy = app_data
+        lx, ly = self._last_drag
+        self.orbit.orbit(-(dx - lx) * 0.01, (dy - ly) * 0.01)
+        self._last_drag = (dx, dy)
+
+    def _on_pan(self, sender, app_data):
+        _, dx, dy = app_data
+        self.orbit.pan(dx * 0.2, dy * 0.2)
+
+    def _on_zoom(self, sender, app_data):
+        self.orbit.zoom(app_data)
+
+    def step(self) -> bool:
+        """Render one frame into the window; False once the window closes."""
+        dpg = self._dpg
+        if not dpg.is_dearpygui_running():
+            return False
+        t0 = time.perf_counter()
+        results = self.render_fn(self.orbit.camera())
+        # Auto-build the display-mode menu from the results dict, like the
+        # reference (gui.py:179-181): any [C, H, W] image tensor qualifies.
+        modes = sorted(k for k, v in results.items()
+                       if hasattr(v, "ndim") and getattr(v, "ndim", 0) == 3
+                       and v.shape[0] in (1, 3))
+        if modes != getattr(self, "_modes", None):
+            self._modes = modes
+            dpg.configure_item("_mode", items=modes)
+        img = np.asarray(results.get(self.mode, results["render"]))
+        self.last_dt = time.perf_counter() - t0
+        if img.ndim == 3 and img.shape[0] in (1, 3):
+            img = np.moveaxis(img, 0, -1)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, -1)
+        dpg.set_value("_tex",
+                      np.ascontiguousarray(np.clip(img, 0, 1),
+                                           np.float32).ravel())
+        dpg.set_value("_fps",
+                      f"{1.0 / max(self.last_dt, 1e-9):.1f} FPS "
+                      f"({self.last_dt * 1e3:.1f} ms)")
+        if not self._last_drag == (0.0, 0.0) and \
+                not dpg.is_mouse_button_down(dpg.mvMouseButton_Left):
+            self._last_drag = (0.0, 0.0)
+        dpg.render_dearpygui_frame()
+        return True
+
+    def close_window(self) -> None:
+        self._dpg.destroy_context()
+
+    def run_window(self) -> None:
+        self.setup_window()
+        try:
+            while self.step():
+                pass
+        finally:
+            self.close_window()
 
 
 def main(argv=None):

@@ -162,6 +162,31 @@ def training(args) -> None:
     logger = MetricsLogger(model_cfg.model_path)
     test_views = None
 
+    # Optional live viewer embedded in the loop (reference train.py:81-104).
+    gui = None
+    if getattr(args, "gui", False):
+        try:
+            import dearpygui.dearpygui  # noqa: F401
+        except ImportError:
+            print("--gui requested but dearpygui is not installed; "
+                  "continuing without the viewer")
+        else:
+            from .gui import GUI
+
+            def gui_render_fn(camera):
+                bg_ = (jnp.ones(3) if cfg.white_background else jnp.zeros(3))
+                view = camera.view_inputs()
+                if is_pbr:
+                    return render_neilf(view, state["params"],
+                                        state["aux"].active, cfg_eval, bg_,
+                                        state["env"], vis, is_training=False)
+                return render(view, state["params"], state["aux"].active,
+                              cfg_eval, bg_)
+
+            gui = GUI(cfg.width, cfg.height, gui_render_fn,
+                      radius=2.5 * scene.cameras_extent)
+            gui.setup_window()
+
     def training_report(iteration):
         """Periodic train/test PSNR (reference training_report,
         train.py:209-273)."""
@@ -170,7 +195,10 @@ def training(args) -> None:
         if not test_cams:
             return
         if test_views is None:
-            test_views = [c.view_inputs() for c in test_cams[:4]]
+            # all test cameras, like the reference's training_report
+            # (train.py:209-273); override with --report_max_views for speed
+            cap = getattr(args, "report_max_views", 0) or len(test_cams)
+            test_views = [c.view_inputs() for c in test_cams[:cap]]
         import jax.numpy as jnp_
         bg = jnp_.ones(3) if cfg.white_background else jnp_.zeros(3)
         psnrs = []
@@ -190,6 +218,8 @@ def training(args) -> None:
               f"({len(psnrs)} views)")
 
     def callback(iteration, metrics):
+        if gui is not None and not gui.step():
+            raise KeyboardInterrupt("viewer window closed")
         for k in ("psnr", "psnr_pbr"):
             if k in metrics:
                 ema[k] = 0.4 * float(metrics[k]) + 0.6 * ema.get(k, 0.0)
@@ -269,6 +299,8 @@ def training(args) -> None:
 
     state.update(params=params, aux=aux, opt_state=opt_state, env=env,
                  env_state=env_state)
+    if gui is not None:
+        gui.close_window()
     print(f"Training complete in {time.time() - t0:.0f}s; "
           f"{int(np.asarray(aux.active).sum())} gaussians")
 
@@ -401,21 +433,79 @@ def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
 
 
 def evaluate(scene, params, aux, env, vis, pipe, model_cfg, args) -> None:
-    """Final test metrics (train.py eval_render analogue)."""
+    """Final test metrics + per-image dumps (reference eval_render,
+    train.py:319-380): SH-render PSNR/SSIM(/LPIPS) over ALL test cameras,
+    plus PBR metrics and BRDF map dumps when stage-2 components exist."""
     from ..losses import ssim as ssim_fn
+    from ..losses.lpips import available as lpips_available, lpips
+    from ..scene.image_io import save_image_u8
+    from ..utils.image import visualize_depth
+
     test_cams = scene.get_test_cameras()
+    is_pbr = env is not None and vis is not None
     cfg = raster_config(test_cams, 5, model_cfg.white_background)
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
-    psnrs, ssims = [], []
-    for cam in test_cams:
+    out_dir = os.path.join(model_cfg.model_path, "eval", "test")
+    os.makedirs(out_dir, exist_ok=True)
+    use_lpips = lpips_available()
+
+    if is_pbr:
+        import dataclasses as _dc
+        from ..models.render_neilf import EVAL_FEATURE_DIM
+        cfg_pbr = _dc.replace(cfg, feature_dim=EVAL_FEATURE_DIM)
+
+    def to_hwc(x):
+        return np.clip(np.asarray(x).transpose(1, 2, 0), 0, 1)
+
+    m = {"psnr": [], "ssim": [], "lpips": [],
+         "psnr_pbr": [], "ssim_pbr": [], "lpips_pbr": []}
+    for i, cam in enumerate(test_cams):
         view = cam.view_inputs()
         res = render(view, params, aux.active, cfg, bg)
-        psnrs.append(float(psnr_fn(res["render"][None], view.image[None])
-                           .mean()))
-        ssims.append(float(ssim_fn(res["render"], view.image)))
-    print(f"[EVAL] test PSNR {np.mean(psnrs):.3f}  SSIM {np.mean(ssims):.4f}")
-    with open(os.path.join(model_cfg.model_path, "metric_test.txt"), "w") as f:
-        f.write(f"psnr: {np.mean(psnrs)}\nssim: {np.mean(ssims)}\n")
+        img = res["render"]
+        m["psnr"].append(float(psnr_fn(img[None], view.image[None]).mean()))
+        m["ssim"].append(float(ssim_fn(img, view.image)))
+        if use_lpips:
+            m["lpips"].append(float(lpips(img, view.image)))
+        save_image_u8(os.path.join(out_dir, f"{i:03d}_render.png"),
+                      to_hwc(img))
+        save_image_u8(os.path.join(out_dir, f"{i:03d}_gt.png"),
+                      to_hwc(view.image))
+        save_image_u8(os.path.join(out_dir, f"{i:03d}_normal.png"),
+                      to_hwc(res["normal"] * 0.5 + 0.5))
+        save_image_u8(os.path.join(out_dir, f"{i:03d}_depth.png"),
+                      np.asarray(visualize_depth(res["depth"][0]))
+                      .transpose(1, 2, 0))
+        if is_pbr:
+            pres = render_neilf(view, params, aux.active, cfg_pbr, bg, env,
+                                vis, is_training=False)
+            pbr = pres["pbr"]
+            m["psnr_pbr"].append(
+                float(psnr_fn(pbr[None], view.image[None]).mean()))
+            m["ssim_pbr"].append(float(ssim_fn(pbr, view.image)))
+            if use_lpips:
+                m["lpips_pbr"].append(float(lpips(pbr, view.image)))
+            for key in ("pbr", "base_color", "roughness", "lights",
+                        "visibility"):
+                if key in pres:
+                    im = to_hwc(pres[key])
+                    if im.shape[-1] == 1:
+                        im = np.repeat(im, 3, axis=-1)
+                    save_image_u8(
+                        os.path.join(out_dir, f"{i:03d}_{key}.png"), im)
+
+    lines = [f"psnr: {np.mean(m['psnr'])}", f"ssim: {np.mean(m['ssim'])}"]
+    if m["lpips"]:
+        lines.append(f"lpips: {np.mean(m['lpips'])}")
+    if m["psnr_pbr"]:
+        lines += [f"psnr_pbr: {np.mean(m['psnr_pbr'])}",
+                  f"ssim_pbr: {np.mean(m['ssim_pbr'])}"]
+        if m["lpips_pbr"]:
+            lines.append(f"lpips_pbr: {np.mean(m['lpips_pbr'])}")
+    print("[EVAL] " + "  ".join(lines) + f"  ({len(test_cams)} views)")
+    with open(os.path.join(model_cfg.model_path, "metric_test.txt"),
+              "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def main(argv=None):
@@ -436,6 +526,11 @@ def main(argv=None):
     parser.add_argument("--checkpoint_interval", type=int, default=5000)
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--test_interval", type=int, default=2500)
+    parser.add_argument("--report_max_views", type=int, default=0,
+                        help="cap periodic test-PSNR views (0 = all)")
+    parser.add_argument("--gui", action="store_true",
+                        help="live dearpygui viewer embedded in the loop "
+                             "(reference train.py:81-104)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     np.random.seed(args.seed)

@@ -24,8 +24,11 @@ import numpy as np
 _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
               512, 512, 512, "M", 512, 512, 512, "M"]
 _STAGE_ENDS = (1, 3, 6, 9, 12)  # conv indices after which features are tapped
-_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# Input z-score shift/scale of the reference's BaseNet
+# (lpipsPyTorch/modules/networks.py:40-44) — richzhang convention applied
+# directly to [0, 1] images (eval_nvs.py:73 passes them unscaled).
+_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)
+_STD = np.array([0.458, 0.448, 0.450], np.float32)
 
 _CACHE: dict = {}
 
@@ -110,13 +113,34 @@ def lpips(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
     f1 = _vgg_features(norm_in(img1), w)
     f2 = _vgg_features(norm_in(img2), w)
-    lins = sorted((k for k in w if "lin" in k and "weight" in k),
-                  key=lambda k: (len(k), k))
+    lins = _lin_keys(w)
     total = 0.0
     for i, (a, b) in enumerate(zip(f1, f2)):
-        a = a / jnp.sqrt((a ** 2).sum(1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt((b ** 2).sum(1, keepdims=True) + 1e-10)
+        # normalize_activation (lpipsPyTorch/modules/utils.py:6-8):
+        # eps added to the norm factor, NOT inside the sqrt.
+        a = a / (jnp.sqrt((a ** 2).sum(1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt((b ** 2).sum(1, keepdims=True)) + 1e-10)
         d = (a - b) ** 2
         lin_w = jnp.asarray(w[lins[i]]).reshape(1, -1, 1, 1)
-        total = total + (d * jnp.maximum(lin_w, 0)).sum(1).mean((-1, -2))
+        total = total + (d * lin_w).sum(1).mean((-1, -2))
     return total.mean()
+
+
+def _lin_keys(w: dict) -> list[str]:
+    """Stage-ordered learned-lin weight keys.
+
+    Accepts both the raw richzhang naming (`lin0.model.1.weight`) and the
+    renamed form the reference's get_state_dict produces (`0.1.weight`,
+    lpipsPyTorch/modules/utils.py:22-28). Ordering comes from the parsed
+    stage index, not string length."""
+    import re
+    found = {}
+    for k in w:
+        m = re.fullmatch(r"(?:lin)?(\d+)\.(?:model\.)?1\.weight", k)
+        if m:
+            found[int(m.group(1))] = k
+    if len(found) < 5:
+        raise ValueError(
+            f"weight file has {len(found)} lin layers, expected 5: "
+            f"{sorted(w)[:10]}...")
+    return [found[i] for i in sorted(found)]

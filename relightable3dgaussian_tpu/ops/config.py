@@ -36,6 +36,27 @@ class RasterConfig:
     # stats; pure rendering can skip the extra DMA round-trips).
     compute_weights: bool = True
 
+    # Tiered dense-emission plan: ((tile_cap, capacity_divisor), ...) ordered
+    # narrow → wide. Most gaussians touch only a few tiles, so giving every
+    # gaussian a max_tiles_per_gaussian-wide dense key row wastes sort input
+    # (the u32 key sort is the binning bottleneck). With a plan, gaussians
+    # are routed to tiers by descending footprint: the P/div_last largest
+    # get the widest rows, and so on; the rest use the narrow tier-0 rows.
+    # Coverage beyond a row's width is dropped far tiles first and counted
+    # in overflow_pairs. None = single dense tier (always exact).
+    # Build a zero-overflow plan from measured footprints with
+    # ops.tiles.auto_tier_plan.
+    tier_plan: tuple[tuple[int, int], ...] | None = None
+
+    @property
+    def binning_tiers(self) -> tuple[tuple[int, int], ...]:
+        if self.tier_plan is None:
+            return ((self.max_tiles_per_gaussian, 1),)
+        assert self.tier_plan[0][1] == 1, "tier 0 must cover every gaussian"
+        caps = [c for c, _ in self.tier_plan]
+        assert caps == sorted(caps), "tier caps must ascend"
+        return self.tier_plan
+
     @property
     def tiles_x(self) -> int:
         return -(-self.width // self.tile)

@@ -75,8 +75,17 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
                cam: CameraParams, cfg: RasterConfig,
                active_mask: jnp.ndarray | None = None,
                cov3d_precomp: jnp.ndarray | None = None,
-               mean2d_offset: jnp.ndarray | None = None) -> Preprocessed:
-    """Project all gaussians; culled/inactive gaussians get radius 0."""
+               mean2d_offset: jnp.ndarray | None = None,
+               opacity: jnp.ndarray | None = None) -> Preprocessed:
+    """Project all gaussians; culled/inactive gaussians get radius 0.
+
+    When `opacity` ([P] activated) is given, the tile rect uses the tighter
+    alpha-aware radius sqrt(2 λmax ln(255 op)) — beyond it alpha < 1/255 so
+    every compositor skips the pixel anyway (output-identical; same bound
+    as the exact per-tile cull in tiles.py). The `radius` output keeps the
+    reference 3σ definition (forward.cu:251-259) because densification size
+    thresholds consume it.
+    """
     P = means3d.shape[0]
     ones = jnp.ones((P, 1), means3d.dtype)
     xyz1 = jnp.concatenate([means3d, ones], -1)
@@ -129,7 +138,19 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     # mirrors getRect (/root/reference/r3dg-rasterization/cuda_rasterizer/
     # auxiliary.h:116-127).
     grid = jnp.array([cfg.tiles_x, cfg.tiles_y], jnp.int32)
-    r = radius[:, None].astype(jnp.float32)
+    if opacity is not None:
+        op = jnp.maximum(opacity, 0.0)
+        # alpha = op * exp(-0.5 q) with q >= |d|^2 / λmax; alpha < 1/255
+        # whenever |d| > sqrt(2 λmax ln(255 op)).
+        r_alpha = jnp.ceil(jnp.sqrt(jnp.maximum(
+            2.0 * lambda1 * jnp.log(jnp.maximum(op, 1e-12) * 255.0), 0.0)))
+        rect_radius = jnp.where(op * 255.0 <= 1.0, 0.0,
+                                jnp.minimum(radius.astype(jnp.float32),
+                                            r_alpha))
+        rect_radius = jnp.where(radius > 0, rect_radius, 0.0)
+    else:
+        rect_radius = radius.astype(jnp.float32)
+    r = rect_radius[:, None]
     rect_min = jnp.clip(((mean2d - r) / cfg.tile).astype(jnp.int32), 0, grid)
     rect_max = jnp.clip(
         ((mean2d + r + cfg.tile - 1) // cfg.tile).astype(jnp.int32), 0, grid)

@@ -33,12 +33,14 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
     """
     P = means3d.shape[0]
     H, W = cfg.height, cfg.width
+    # Opacity enables exact (output-identical) alpha-aware rect shrinking
+    # and per-tile culling; stop the gradient so the cull decisions stay
+    # pure integer selections.
+    op_cull = jax.lax.stop_gradient(opacity[:, 0])
     prep = preprocess(means3d, scales, rotations, shs, colors_precomp, cam,
-                      cfg, active_mask, cov3d_precomp, mean2d_offset)
-    # Opacity enables exact (output-identical) per-tile alpha culling; stop
-    # the gradient so the cull decision stays a pure integer selection.
-    binning = bin_gaussians(prep, cfg,
-                            jax.lax.stop_gradient(opacity[:, 0]))
+                      cfg, active_mask, cov3d_precomp, mean2d_offset,
+                      opacity=op_cull)
+    binning = bin_gaussians(prep, cfg, op_cull)
 
     attrs = jnp.concatenate(
         [prep.rgb, features, prep.depth[:, None],

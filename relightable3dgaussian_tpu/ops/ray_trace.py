@@ -33,7 +33,7 @@ from .knn import morton_codes
 
 
 class GaussianBVH(NamedTuple):
-    """Morton-ordered cluster structure (the TPU 'BVH')."""
+    """Morton-ordered two-level cluster structure (the TPU 'BVH')."""
     order: jnp.ndarray          # [P] sorted gaussian indices
     xyz: jnp.ndarray            # [P, 3] sorted positions
     cov_inv: jnp.ndarray        # [P, 6] sorted packed inverse covariances
@@ -41,7 +41,10 @@ class GaussianBVH(NamedTuple):
     normal: jnp.ndarray         # [P, 3] sorted normals
     cluster_lo: jnp.ndarray     # [C, 3]
     cluster_hi: jnp.ndarray     # [C, 3]
+    super_lo: jnp.ndarray       # [S, 3] AABBs over groups of clusters
+    super_hi: jnp.ndarray       # [S, 3]
     cluster_size: int
+    super_size: int             # clusters per supercluster
 
 
 def inverse_covariance_packed(scaling: jnp.ndarray,
@@ -57,7 +60,7 @@ def inverse_covariance_packed(scaling: jnp.ndarray,
 def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
               opacity: jnp.ndarray, normal: jnp.ndarray,
               active: jnp.ndarray | None = None,
-              cluster_size: int = 32) -> GaussianBVH:
+              cluster_size: int = 32, super_size: int = 32) -> GaussianBVH:
     """Morton-sort gaussians and build cluster AABBs from 3σ ellipsoids."""
     P = xyz.shape[0]
     if active is None:
@@ -90,6 +93,18 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     cluster_hi = hi_s.reshape(C, cluster_size, 3).max(axis=1)
 
     op_sorted = jnp.where(pad_mask & active[order_p], opacity[order_p], 0.0)
+
+    # Second level: AABBs over groups of super_size consecutive clusters —
+    # rays prune at this level first, shrinking the per-ray slab matrix and
+    # the exact top-k selection domain ~super_size-fold.
+    spad = (-C) % super_size
+    sc_lo = (jnp.concatenate([cluster_lo, jnp.full((spad, 3), jnp.inf)])
+             if spad else cluster_lo)
+    sc_hi = (jnp.concatenate([cluster_hi, jnp.full((spad, 3), -jnp.inf)])
+             if spad else cluster_hi)
+    S = sc_lo.shape[0] // super_size
+    super_lo = sc_lo.reshape(S, super_size, 3).min(axis=1)
+    super_hi = sc_hi.reshape(S, super_size, 3).max(axis=1)
     return GaussianBVH(
         order=order_p,
         xyz=xyz[order_p],
@@ -98,12 +113,17 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
         normal=normal[order_p],
         cluster_lo=cluster_lo,
         cluster_hi=cluster_hi,
+        super_lo=super_lo,
+        super_hi=super_hi,
         cluster_size=cluster_size,
+        super_size=super_size,
     )
 
 
 def _slab_hit(lo, hi, o, inv_d):
-    """Ray-AABB slab test; hit iff exit t > max(entry t, 0).
+    """Ray-AABB slab test; hit iff exit t > max(entry t, 0) and the box is
+    non-empty (padded/inactive boxes are [inf, -inf] and the inf arithmetic
+    would otherwise report a hit).
 
     lo/hi: [C, 3]; o/inv_d: [3]. Returns [C] bool.
     """
@@ -111,24 +131,57 @@ def _slab_hit(lo, hi, o, inv_d):
     t1 = (hi - o[None, :]) * inv_d[None, :]
     tmin = jnp.minimum(t0, t1).max(-1)
     tmax = jnp.maximum(t0, t1).min(-1)
-    return (tmax > 0.0) & (tmax >= tmin)
+    return (tmax > 0.0) & (tmax >= tmin) & (lo <= hi).all(-1)
 
 
-def _trace_rays(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int):
+def _trace_rays(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
+                max_supers: int = 16):
     """Trace a chunk of rays. rays_o/rays_d: [R, 3]. Returns (vis, n_contrib,
-    overflow) with vis [R]."""
+    overflow) with vis [R].
+
+    Two-level pruning: slab-test the ~C/super_size supercluster AABBs, keep
+    up to `max_supers` hits (exact top-k over a small domain), then
+    slab-test only their children and keep up to `max_clusters` — the CUDA
+    LBVH's log-depth pruning (bvh/src/trace.cu:196-287) recast as two fixed
+    fan-out levels so every step stays a dense vectorized op.
+    """
     inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
                             jnp.where(rays_d >= 0, 1e-12, -1e-12), rays_d)
 
-    hits = jax.vmap(lambda o, i: _slab_hit(bvh.cluster_lo, bvh.cluster_hi,
-                                           o, i))(rays_o, inv_d)  # [R, C]
-    n_clusters = hits.shape[1]
+    n_clusters = bvh.cluster_lo.shape[0]
+    n_super = bvh.super_lo.shape[0]
+    ssz = bvh.super_size
+    K1 = min(max_supers, n_super)
+
+    s_hits = jax.vmap(lambda o, i: _slab_hit(bvh.super_lo, bvh.super_hi,
+                                             o, i))(rays_o, inv_d)  # [R, S]
+    s_key = jnp.where(s_hits, jnp.arange(n_super)[None, :], n_super)
+    s_top = -jax.lax.top_k(-s_key, K1)[0]                     # [R, K1]
+    s_valid = s_top < n_super
+    s_over = jnp.maximum(s_hits.sum(-1) - K1, 0)
+
+    # Children of the selected superclusters: [R, K1 * ssz] cluster ids.
+    child_raw = (jnp.clip(s_top, 0, n_super - 1)[:, :, None] * ssz
+                 + jnp.arange(ssz)[None, None, :]) \
+        .reshape(s_top.shape[0], -1)
+    in_range = child_raw < n_clusters  # pad children must not alias cluster
+    child = jnp.minimum(child_raw, n_clusters - 1)  # C-1 (double-counting)
+    c_lo = bvh.cluster_lo[child]                              # [R, K1*ssz, 3]
+    c_hi = bvh.cluster_hi[child]
+    t0 = (c_lo - rays_o[:, None, :]) * inv_d[:, None, :]
+    t1 = (c_hi - rays_o[:, None, :]) * inv_d[:, None, :]
+    tmin = jnp.minimum(t0, t1).max(-1)
+    tmax = jnp.maximum(t0, t1).min(-1)
+    hits = ((tmax > 0.0) & (tmax >= tmin) & (c_lo <= c_hi).all(-1)
+            & in_range
+            & jnp.repeat(s_valid, ssz, axis=1))               # [R, K1*ssz]
+
     # Keep up to K hit clusters (by index order — any subset works since the
     # product is commutative; overflow is counted).
-    key = jnp.where(hits, jnp.arange(n_clusters)[None, :], n_clusters)
-    topk = -jax.lax.top_k(-key, min(max_clusters, n_clusters))[0]  # [R, K]
+    key = jnp.where(hits, child, n_clusters)
+    topk = -jax.lax.top_k(-key, min(max_clusters, key.shape[1]))[0]  # [R, K]
     valid_cluster = topk < n_clusters
-    overflow = jnp.maximum(hits.sum(-1) - max_clusters, 0)
+    overflow = jnp.maximum(hits.sum(-1) - max_clusters, 0) + s_over
 
     cs = bvh.cluster_size
     K = topk.shape[1]
@@ -183,7 +236,7 @@ def _trace_rays(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int):
 
 def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, max_clusters: int = 64,
-                     ray_chunk: int = 4096):
+                     ray_chunk: int = 4096, max_supers: int = 16):
     """Visibility for flat ray arrays [R, 3] (origin offset like the
     reference, bvh/__init__.py:62-71: o += 0.05 d). Returns dict with
     "visibility" [R, 1], "contribute" [R, 1], "overflow" [R]."""
@@ -198,7 +251,7 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
 
     def body(_, oc):
         o, d = oc
-        return None, _trace_rays(bvh, o, d, max_clusters)
+        return None, _trace_rays(bvh, o, d, max_clusters, max_supers)
 
     _, (vis, contrib, overflow) = jax.lax.scan(
         body, None,

@@ -72,6 +72,47 @@ class Binning(NamedTuple):
         return self.depth_order[jnp.clip(self.sorted_rank, 0, P - 1)]
 
 
+def auto_tier_plan(tiles_touched, dmax: int = 64,
+                   divs: tuple[int, ...] = (2, 8),
+                   margin: float = 1.3) -> tuple[tuple[int, int], ...]:
+    """Build a zero-overflow tier plan from measured per-gaussian footprints.
+
+    Args:
+      tiles_touched: [P] (or concatenation over several views) measured tile
+        counts from preprocess(); numpy or jax array.
+      dmax: overall per-gaussian cap (cfg.max_tiles_per_gaussian).
+      divs: capacity divisors of the non-base tiers, narrow → wide.
+      margin: cap headroom multiplier so slightly larger footprints in other
+        views still fit.
+    Returns a cfg.tier_plan value. By construction the plan has zero spill
+    on the measured view(s); the margin covers view-to-view variation (the
+    overflow_pairs counter still reports any residual spill).
+    """
+    import numpy as np
+    t = np.minimum(np.asarray(tiles_touched).reshape(-1), dmax)
+    t = np.sort(t)[::-1]                      # descending footprint
+    P = t.shape[0]
+    plan: list[tuple[int, int]] = []
+    lo = 0
+    for div in sorted(divs, reverse=True):    # widest tier first
+        M = min(max(8, -(-P // div)), P - lo)
+        seg_max = int(t[lo]) if lo < P else 0
+        cap = min(dmax, max(1, int(np.ceil(seg_max * margin)) + 1))
+        plan.append((cap, div))
+        lo += M
+    base_max = int(t[lo]) if lo < P else 0
+    cap0 = min(dmax, max(1, int(np.ceil(base_max * margin)) + 1))
+    plan.append((cap0, 1))
+    plan = plan[::-1]                         # narrow → wide
+    # merge equal/non-ascending caps (keep the cheaper, wider-capacity row)
+    merged: list[tuple[int, int]] = []
+    for cap, div in plan:
+        if merged and cap <= merged[-1][0]:
+            continue
+        merged.append((cap, div))
+    return tuple(merged)
+
+
 def work_capacity(num_points: int, cfg: RasterConfig) -> int:
     """Static number of work-item slots (padded to a multiple of 8)."""
     budget = cfg.buffer_multiple * num_points
@@ -127,6 +168,42 @@ def _tile_min_power(mean2d, conic, tx, ty, tile: int):
     return jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
 
 
+def _emit_tier_keys(prep: Preprocessed, cfg: RasterConfig, rows, width: int,
+                    emit_rows, rank_of, opacity, P2: int):
+    """Dense key rows for one tier.
+
+    Args:
+      rows: [M] int32 gaussian ids for this tier's rows (already valid).
+      width: static slot count per row.
+      emit_rows: [M] number of (row-local) tiles to emit, <= width.
+    Returns ([M * width] u32 keys, [M] emitted counts).
+    """
+    rect_min = prep.rect_min[rows]
+    span_x = jnp.maximum(
+        (prep.rect_max[:, 0] - prep.rect_min[:, 0])[rows], 1)
+    j = jnp.arange(width, dtype=jnp.int32)[None, :]
+    valid = j < emit_rows[:, None]
+    # floor(j / span) via f32 division: exact for j < 2^20 and span >= 1
+    # (correctly-rounded f32 division cannot cross an integer boundary at
+    # these magnitudes) — vector integer div/mod is slow on the VPU.
+    jq = jnp.floor(j.astype(jnp.float32)
+                   / span_x[:, None].astype(jnp.float32)).astype(jnp.int32)
+    ty = rect_min[:, 1:2] + jq
+    tx = rect_min[:, 0:1] + j - jq * span_x[:, None]
+    if opacity is not None:
+        # alpha_max = opacity * exp(-q_min/2) >= 1/255
+        q_min = _tile_min_power(prep.mean2d[rows], prep.conic[rows],
+                                tx, ty, cfg.tile)
+        th = 2.0 * jnp.log(
+            jnp.maximum(opacity[rows], 1e-12) * 255.0)[:, None]
+        valid = valid & (q_min <= th)
+    tile = (ty * cfg.tiles_x + tx).astype(jnp.uint32)
+    rank = rank_of[rows].astype(jnp.uint32)[:, None]
+    key = jnp.where(valid, tile * jnp.uint32(P2) + rank,
+                    jnp.uint32(0xFFFFFFFF))
+    return key.reshape(-1), valid.sum(axis=1)
+
+
 def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
                   opacity: jnp.ndarray | None = None) -> Binning:
     """Bin gaussians into (tile, depth)-ordered buffer slots.
@@ -148,7 +225,6 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
         f"({n_tiles} tiles x {P2}); shrink capacity or tile the image")
 
     emit = jnp.minimum(prep.tiles_touched, dmax)
-    span_x = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
 
     # Depth ranks: stable order of view-space depth (ties broken by index),
     # so sorting tile*P2+rank reproduces the (tile, depth, id) lexicographic
@@ -157,23 +233,48 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     rank_of = jnp.zeros((P,), jnp.int32).at[depth_order].set(
         jnp.arange(P, dtype=jnp.int32))
 
-    # Dense emission: key[i, j] covers the j-th tile of gaussian i's rect.
-    j = jnp.arange(dmax, dtype=jnp.int32)[None, :]
-    valid = j < emit[:, None]
-    ty = prep.rect_min[:, 1:2] + j // span_x[:, None]
-    tx = prep.rect_min[:, 0:1] + j % span_x[:, None]
-    if opacity is not None:
-        # alpha_max = opacity * exp(-q_min/2) >= 1/255
-        q_min = _tile_min_power(prep.mean2d, prep.conic, tx, ty, cfg.tile)
-        th = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)[:, None]
-        valid = valid & (q_min <= th)
-    tile = (ty * cfg.tiles_x + tx).astype(jnp.uint32)
-    key = jnp.where(valid,
-                    tile * jnp.uint32(P2) + rank_of.astype(jnp.uint32)[:, None],
-                    jnp.uint32(0xFFFFFFFF)).reshape(-1)
-    total = valid.sum()
+    # Tiered dense emission (cfg.binning_tiers): gaussians are routed to
+    # tiers by DESCENDING footprint — the P/div largest rects get the widest
+    # rows — so wide rows are never wasted on small gaussians and narrow
+    # rows only ever truncate the smallest footprints (counted as spill).
+    tiers = cfg.binning_tiers
+    key_parts = []
+    total = jnp.int32(0)
+    spill = jnp.int32(0)
+    if len(tiers) == 1:
+        all_ids = jnp.arange(P, dtype=jnp.int32)
+        k0, c0 = _emit_tier_keys(prep, cfg, all_ids, tiers[0][0], emit,
+                                 rank_of, opacity, P2)
+        key_parts.append(k0)
+        total = total + c0.sum()
+    else:
+        size_order = jnp.argsort(-emit).astype(jnp.int32)  # desc footprint
+        lo = 0
+        for cap, div in reversed(tiers[1:]):
+            M = min(max(8, -(-P // div)), P - lo)
+            rows = size_order[lo:lo + M]
+            emit_rows = jnp.minimum(emit[rows], cap)
+            spill = spill + (emit[rows] - emit_rows).sum()
+            k, c = _emit_tier_keys(prep, cfg, rows, cap, emit_rows,
+                                   rank_of, opacity, P2)
+            key_parts.append(k)
+            total = total + c.sum()
+            lo += M
+        cap0 = tiers[0][0]
+        rows0 = size_order[lo:]
+        emit0 = jnp.minimum(emit[rows0], cap0)
+        spill = spill + (emit[rows0] - emit0).sum()
+        k0, c0 = _emit_tier_keys(prep, cfg, rows0, cap0, emit0, rank_of,
+                                 opacity, P2)
+        key_parts.append(k0)
+        total = total + c0.sum()
+    key = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
 
-    sorted_key = jax.lax.sort(key)[:B]          # invalids sort last
+    sorted_key = jax.lax.sort(key)
+    sorted_key = (sorted_key[:B] if sorted_key.shape[0] >= B else
+                  jnp.concatenate([sorted_key, jnp.full(
+                      (B - sorted_key.shape[0],), 0xFFFFFFFF,
+                      jnp.uint32)]))                # invalids sort last
     sorted_rank = (sorted_key % jnp.uint32(P2)).astype(jnp.int32)
 
     tile_bounds = (jnp.arange(n_tiles + 1, dtype=jnp.uint32)
@@ -199,7 +300,7 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     work_offset = jnp.where(wvalid, tile_start[tc] + wj * cfg.chunk, 0)
 
     pair_overflow = (jnp.maximum(prep.tiles_touched - dmax, 0).sum()
-                     + jnp.maximum(total - B, 0))
+                     + spill + jnp.maximum(total - B, 0))
     return Binning(
         sorted_rank=sorted_rank,
         depth_order=depth_order,

@@ -63,12 +63,14 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 64,
     sharded over the mesh (R divisible by mesh.size) and the cluster
     structure replicated.
     """
-    def inner(cluster_size, xyz, cov_inv, opacity, normal, c_lo, c_hi,
-              rays_o, rays_d):
+    def inner(sizes, xyz, cov_inv, opacity, normal, c_lo, c_hi,
+              s_lo, s_hi, rays_o, rays_d):
+        cluster_size, super_size = sizes
         bvh = GaussianBVH(order=jnp.zeros((0,), jnp.int32), xyz=xyz,
                           cov_inv=cov_inv, opacity=opacity, normal=normal,
                           cluster_lo=c_lo, cluster_hi=c_hi,
-                          cluster_size=cluster_size)
+                          super_lo=s_lo, super_hi=s_hi,
+                          cluster_size=cluster_size, super_size=super_size)
         out = trace_visibility(bvh, rays_o, rays_d,
                                max_clusters=max_clusters,
                                ray_chunk=ray_chunk)
@@ -76,21 +78,23 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 64,
 
     import functools
 
-    def make(cluster_size):
+    def make(sizes):
         return jax.jit(jax.shard_map(
-            functools.partial(inner, cluster_size), mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(),
+            functools.partial(inner, sizes), mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
                       P(DP_AXIS), P(DP_AXIS)),
             out_specs=P(DP_AXIS),
             check_vma=False))
 
-    cache: dict[int, object] = {}
+    cache: dict[tuple, object] = {}
 
     def fn(bvh: GaussianBVH, rays_o, rays_d):
-        if bvh.cluster_size not in cache:
-            cache[bvh.cluster_size] = make(bvh.cluster_size)
-        return cache[bvh.cluster_size](
+        sizes = (bvh.cluster_size, bvh.super_size)
+        if sizes not in cache:
+            cache[sizes] = make(sizes)
+        return cache[sizes](
             bvh.xyz, bvh.cov_inv, bvh.opacity, bvh.normal,
-            bvh.cluster_lo, bvh.cluster_hi, rays_o, rays_d)
+            bvh.cluster_lo, bvh.cluster_hi, bvh.super_lo, bvh.super_hi,
+            rays_o, rays_d)
 
     return fn

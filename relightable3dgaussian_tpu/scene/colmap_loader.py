@@ -89,20 +89,24 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
     return images
 
 
-def read_points3d_binary(path: str):
-    """→ (xyz [N,3], rgb [N,3] uint8, errors [N])."""
+def read_points3d_binary(path: str, with_ids: bool = False):
+    """→ (xyz [N,3], rgb [N,3] uint8, errors [N][, point ids [N]])."""
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3))
         rgb = np.empty((n, 3), np.uint8)
         err = np.empty(n)
+        ids = np.empty(n, np.int64)
         for i in range(n):
-            _pid, x, y, z, r, g, b, e = _read(f, "<QdddBBBd")
+            pid, x, y, z, r, g, b, e = _read(f, "<QdddBBBd")
+            ids[i] = pid
             xyz[i] = (x, y, z)
             rgb[i] = (r, g, b)
             err[i] = e
             (track_len,) = _read(f, "<Q")
             f.seek(8 * track_len, os.SEEK_CUR)
+    if with_ids:
+        return xyz, rgb, err, ids
     return xyz, rgb, err
 
 
@@ -136,17 +140,21 @@ def read_images_text(path: str) -> dict[int, ColmapImage]:
     return images
 
 
-def read_points3d_text(path: str):
-    xyz, rgb, err = [], [], []
+def read_points3d_text(path: str, with_ids: bool = False):
+    xyz, rgb, err, ids = [], [], [], []
     for line in open(path):
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         el = line.split()
+        ids.append(int(el[0]))
         xyz.append([float(x) for x in el[1:4]])
         rgb.append([int(x) for x in el[4:7]])
         err.append(float(el[7]))
-    return (np.array(xyz), np.array(rgb, np.uint8), np.array(err))
+    out = (np.array(xyz), np.array(rgb, np.uint8), np.array(err))
+    if with_ids:
+        return out + (np.array(ids, np.int64),)
+    return out
 
 
 # Binary writers (used by tests and `convert` tooling).

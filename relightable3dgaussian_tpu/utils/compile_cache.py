@@ -16,8 +16,11 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
-    """Enable the persistent compilation cache; returns the directory used."""
+    """Enable the persistent compilation cache; returns the directory used
+    ("" when disabled via R3DG_COMPILE_CACHE=0)."""
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    if cache_dir == "0":
+        return ""
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything, however small/fast-to-compile.
