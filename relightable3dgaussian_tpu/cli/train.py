@@ -217,22 +217,48 @@ def training(args) -> None:
         print(f"[ITER {iteration}] test PSNR {np.mean(psnrs):.3f} "
               f"({len(psnrs)} views)")
 
+    # Per-scalar float() costs a full device round trip each (expensive
+    # through the TPU tunnel) and the callback runs every iteration, so
+    # metrics are buffered as device refs and flushed as ONE transfer every
+    # few iterations (async dispatch keeps the device busy meanwhile).
+    pending: list = []
+
+    def _flush():
+        batch = jax.device_get([m for _, m in pending])
+        for it_i, metrics in zip((i for i, _ in pending), batch):
+            for k in ("psnr", "psnr_pbr"):
+                if k in metrics:
+                    ema[k] = 0.4 * float(metrics[k]) + 0.6 * ema.get(k, 0.0)
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                dump = debug_dump(
+                    os.path.join(model_cfg.model_path,
+                                 f"snapshot_{it_i}"),
+                    params=state["params"], aux=state["aux"])
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {it_i}; inputs dumped "
+                    f"to {dump}")
+            logger.scalars(it_i, metrics if "densify" not in metrics else
+                           {k: v for k, v in metrics.items()
+                            if k != "densify"})
+        last = batch[-1] if batch else {}
+        pending.clear()
+        return last
+
     def callback(iteration, metrics):
         if gui is not None and not gui.step():
             raise KeyboardInterrupt("viewer window closed")
-        for k in ("psnr", "psnr_pbr"):
-            if k in metrics:
-                ema[k] = 0.4 * float(metrics[k]) + 0.6 * ema.get(k, 0.0)
-        loss_val = float(metrics["loss"])
-        if not np.isfinite(loss_val):
-            dump = debug_dump(
-                os.path.join(model_cfg.model_path, f"snapshot_{iteration}"),
-                params=state["params"], aux=state["aux"])
-            raise FloatingPointError(
-                f"non-finite loss at iteration {iteration}; inputs dumped "
-                f"to {dump}")
-        logger.scalars(iteration, metrics if "densify" not in metrics else
-                       {k: v for k, v in metrics.items() if k != "densify"})
+        pending.append((iteration, metrics))
+        boundary = (iteration % 8 == 0
+                    or iteration % args.log_interval == 0
+                    or iteration == first_iter + 1
+                    or iteration % args.save_interval == 0
+                    or iteration % args.checkpoint_interval == 0
+                    or iteration == opt.iterations
+                    or "densify" in metrics)
+        if not boundary:
+            return
+        metrics = _flush()
         if (pipe.save_training_vis
                 and iteration % pipe.save_training_vis_iteration == 0):
             import jax.numpy as jnp_

@@ -59,6 +59,7 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
     metrics = dict(results["tb_dict"])
     metrics["loss"] = loss
     metrics["light_mean"] = results["env"].mean()
+    metrics["n_active"] = aux.active.sum()
     return new_params, new_aux, new_opt_state, new_env, new_env_state, metrics
 
 
