@@ -174,7 +174,7 @@ def _resize2d(img, h, w):
 def infer_depth(ref_img, src_imgs, ref_cam: MVSCamera,
                 src_cams: list[MVSCamera],
                 stage_planes=(48, 32, 16), band=(None, 9.0, 3.0),
-                beta: float = 20.0):
+                beta: float = 20.0, stage_wins=(7, 7, 5)):
     """Cascade depth inference for one reference view.
 
     Args:
@@ -215,22 +215,24 @@ def infer_depth(ref_img, src_imgs, ref_cam: MVSCamera,
         if depth is None:
             inv = jnp.linspace(1.0 / dmax, 1.0 / dmin, planes)
             depths = 1.0 / inv[::-1]
-            d, p = _sweep(rg, sg, jnp.linalg.inv(Kr), Ks, rel, depths, beta)
+            d, p = _sweep(rg, sg, jnp.linalg.inv(Kr), Ks, rel, depths, beta,
+                          win=stage_wins[s_i])
         else:
             prev = _resize2d(depth, h, w)
             half = band[s_i] * (dmax - dmin) / stage_planes[0]
             offs = jnp.linspace(-half, half, planes)
             d, p = _sweep_local(rg, sg, jnp.linalg.inv(Kr), Ks, rel, prev,
-                                offs, beta, dmin, dmax)
+                                offs, beta, dmin, dmax,
+                                win=stage_wins[s_i])
         depth = d
         probs.append(_resize2d(p, H, W))
     depth = _resize2d(depth, H, W)
     return depth, probs
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("win",))
 def _sweep_local(ref_g, srcs_g, K_ref_inv, K_srcs, rel, prev_depth, offs,
-                 beta, dmin, dmax):
+                 beta, dmin, dmax, win: int = 7):
     """Local band sweep: per-pixel hypotheses prev_depth + offs, with
     sub-plane parabola refinement around the best hypothesis (the classical
     replacement for the network's learned regression)."""
@@ -251,7 +253,7 @@ def _sweep_local(ref_g, srcs_g, K_ref_inv, K_srcs, rel, prev_depth, offs,
                         uvw[:, 1] / jnp.maximum(z, 1e-6) - 0.5], -1)
         warped, inb = jax.vmap(_warp)(srcs_g, uv)
         valid = inb & (z > 1e-4)
-        ncc, eff = _zncc(ref_g, warped, valid)
+        ncc, eff = _zncc(ref_g, warped, valid, k=win)
         nv = jnp.maximum(eff.sum(0), 1)
         return ncc.sum(0) / nv
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..scene.image_io import save_pfm
@@ -20,15 +19,29 @@ from .formats import MVSCamera
 
 
 def depth_to_normal(depth: np.ndarray, cam: MVSCamera,
-                    world_space: bool = True) -> np.ndarray:
+                    world_space: bool = True, smooth: int = 7) -> np.ndarray:
     """[H, W] depth → [H, W, 3] unit normals (0 where depth invalid).
 
     Central differences on unprojected camera-space points, n = normalize(
     dp/dx × dp/dy), oriented toward the camera — kornia
     depth_to_normals-equivalent (the reference's prepare step,
-    vismvsnet/prepare_neilf.py normal derivation).
+    vismvsnet/prepare_neilf.py normal derivation). The depth is box-smoothed
+    over a `smooth` window first: per-pixel estimation noise (~1% of depth)
+    otherwise dominates the 1-px finite differences.
     """
     H, W = depth.shape
+    valid0 = depth > 1e-9
+    if smooth and smooth > 1:
+        k = np.ones(smooth) / smooth
+        num = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), 1, depth * valid0)
+        num = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), 0, num)
+        den = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), 1, valid0.astype(np.float64))
+        den = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "same"), 0, den)
+        depth = np.where(valid0, num / np.maximum(den, 1e-9), 0.0)
     K = np.asarray(cam.intrinsic, np.float64)
     ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
                          indexing="ij")
@@ -68,12 +81,16 @@ def prepare_blender_extra(scene_dir: str, names: list[str],
         os.makedirs(d, exist_ok=True)
     for name in names:
         base = os.path.basename(name)
-        d = np.asarray(depths[name], np.float32) * masks[name]
-        imageio.imwrite(os.path.join(ddir, base + ".tiff"), d)
-        save_pfm(os.path.join(ndir, base + ".pfm"),
-                 depth_to_normal(d, cams[name]))
+        raw = np.asarray(depths[name], np.float32)
+        m = np.asarray(masks[name])
+        # normals come from the UNMASKED depth (smooth everywhere) and are
+        # only zeroed afterwards — differencing across mask holes would
+        # invalidate every kept pixel adjacent to a rejected one
+        n = depth_to_normal(raw, cams[name]) * m[..., None]
+        imageio.imwrite(os.path.join(ddir, base + ".tiff"), raw * m)
+        save_pfm(os.path.join(ndir, base + ".pfm"), n.astype(np.float32))
         imageio.imwrite(os.path.join(mdir, base + ".png"),
-                        (np.asarray(masks[name]) * 255).astype(np.uint8))
+                        (m * 255).astype(np.uint8))
 
 
 def prepare_neilf_inputs(out_dir: str, names: list[str],
@@ -90,9 +107,10 @@ def prepare_neilf_inputs(out_dir: str, names: list[str],
         os.makedirs(d, exist_ok=True)
     for name in names:
         base = os.path.basename(name)
-        d = np.asarray(depths[name], np.float32) * masks[name]
-        save_pfm(os.path.join(ddir, base + ".pfm"), d)
-        save_pfm(os.path.join(ndir, base + ".pfm"),
-                 depth_to_normal(d, cams[name]))
+        raw = np.asarray(depths[name], np.float32)
+        m = np.asarray(masks[name])
+        n = depth_to_normal(raw, cams[name]) * m[..., None]
+        save_pfm(os.path.join(ddir, base + ".pfm"), raw * m)
+        save_pfm(os.path.join(ndir, base + ".pfm"), n.astype(np.float32))
         imageio.imwrite(os.path.join(pdir, base + ".png"),
-                        (np.asarray(masks[name]) * 255).astype(np.uint8))
+                        (m * 255).astype(np.uint8))
