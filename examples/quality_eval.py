@@ -278,6 +278,10 @@ def main():
         "--iterations", str(args.iters1),
         "--densify_until_iter", str(args.iters1 // 2),
         "--max_init_points", str(args.max_init_points),
+        # the default 2e-4 threshold (real-scene calibration) over-densifies
+        # this small strongly-textured scene into millions of points
+        "--densify_grad_threshold", "0.0008",
+        "--percent_dense", "0.003",
         "--lambda_mask_entropy", "0.1",
         "--lambda_normal_render_depth", "0.01",
         "--lambda_depth_var", "1e-2",
