@@ -238,6 +238,10 @@ def main():
     ap.add_argument("--max_init_points", type=int, default=30000)
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke configuration")
+    ap.add_argument("--skip1", action="store_true",
+                    help="reuse the existing stage-1 checkpoint")
+    ap.add_argument("--skip2", action="store_true",
+                    help="reuse the existing stage-2 checkpoint")
     ap.add_argument("--report", default="QUALITY_r02.md")
     args = ap.parse_args()
     if args.quick:
@@ -272,16 +276,17 @@ def main():
     from relightable3dgaussian_tpu.cli import train as train_cli
 
     # ---------------- stage 1 ----------------
-    print("[train] stage 1 (render)...")
-    train_cli.main([
+    print("[train] stage 1 (render)..." + (" [skipped]" if args.skip1 else ""))
+    args.skip1 or train_cli.main([
         "-s", scene_dir, "-m", out1, "-t", "render", "--eval", "-w",
         "--iterations", str(args.iters1),
         "--densify_until_iter", str(args.iters1 // 2),
         "--max_init_points", str(args.max_init_points),
         # the default 2e-4 threshold (real-scene calibration) over-densifies
-        # this small strongly-textured scene into millions of points
-        "--densify_grad_threshold", "0.0008",
-        "--percent_dense", "0.003",
+        # this small strongly-textured scene into millions of points; also
+        # hard-cap capacity (drops are counted + reported)
+        "--densify_grad_threshold", "0.0015",
+        "--max_capacity", "262144",
         "--lambda_mask_entropy", "0.1",
         "--lambda_normal_render_depth", "0.01",
         "--lambda_depth_var", "1e-2",
@@ -291,9 +296,9 @@ def main():
     ])
 
     # ---------------- stage 2 ----------------
-    print("[train] stage 2 (neilf)...")
+    print("[train] stage 2 (neilf)..." + (" [skipped]" if args.skip2 else ""))
     total2 = args.iters1 + args.iters2
-    train_cli.main([
+    args.skip2 or train_cli.main([
         "-s", scene_dir, "-m", out2, "-t", "neilf", "--eval", "-w",
         "-c", os.path.join(out1, f"chkpnt{args.iters1}.npz"),
         "--iterations", str(total2),

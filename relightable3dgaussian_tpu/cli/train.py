@@ -316,7 +316,8 @@ def training(args) -> None:
     if not is_pbr:
         params, aux, opt_state = _run_stage1(
             params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
-            extent, state, callback, n_devices=n_devices)
+            extent, state, callback, n_devices=n_devices,
+            max_cap=getattr(args, "max_capacity", 0) or 0)
     else:
         params, aux, opt_state, env, env_state = _run_stage2(
             params, aux, opt_state, env, env_state, vis, views, cfg, opt,
@@ -352,7 +353,7 @@ def _make_batcher(views, rng, n_devices, mesh):
 
 
 def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
-                extent, state, callback, n_devices=1):
+                extent, state, callback, n_devices=1, max_cap=0):
     rng = np.random.default_rng(0)
     stack = []
     key = jax.random.PRNGKey(0)
@@ -392,11 +393,21 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                 metrics["densify"] = dstats
                 if int(dstats.n_dropped) > 0:
                     new_cap = params.capacity * 2
-                    print(f"[ITER {iteration}] capacity overflow "
-                          f"({int(dstats.n_dropped)} dropped) -> growing to "
-                          f"{new_cap}")
-                    params, aux = G.grow_capacity(params, aux, new_cap)
-                    opt_state = _grow_opt_state(opt_state, params)
+                    if max_cap and new_cap > max_cap:
+                        if params.capacity < max_cap:
+                            new_cap = max_cap
+                        else:
+                            print(f"[ITER {iteration}] at max capacity "
+                                  f"{params.capacity}; "
+                                  f"{int(dstats.n_dropped)} densify "
+                                  f"candidates dropped")
+                            new_cap = None
+                    if new_cap:
+                        print(f"[ITER {iteration}] capacity overflow "
+                              f"({int(dstats.n_dropped)} dropped) -> "
+                              f"growing to {new_cap}")
+                        params, aux = G.grow_capacity(params, aux, new_cap)
+                        opt_state = _grow_opt_state(opt_state, params)
             if iteration % opt.opacity_reset_interval == 0 or (
                     cfg.white_background
                     and iteration == opt.densify_from_iter):
@@ -543,6 +554,9 @@ def main(argv=None):
                         help="data-parallel camera batch over the first N "
                              "devices (1 = single-device loop)")
     parser.add_argument("--capacity", type=int, default=0)
+    parser.add_argument("--max_capacity", type=int, default=0,
+                        help="cap on densification capacity growth "
+                             "(0 = unbounded); overflow is counted")
     parser.add_argument("--max_init_points", type=int, default=0)
     parser.add_argument("--buffer_multiple", type=int, default=0)
     parser.add_argument("--chunk", type=int, default=0)
