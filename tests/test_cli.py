@@ -42,6 +42,27 @@ class TestTrainCLI:
         assert os.path.exists(out / "metric_test.txt")
         self._model_dir = out
 
+    def test_stage1_data_parallel_cli(self, dataset, tmp_path_factory):
+        """--n_devices 8 drives the DP branch (batcher, replicate, densify
+        under the mesh) through the real CLI on the virtual CPU mesh."""
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        from relightable3dgaussian_tpu.cli import train as train_cli
+        out = tmp_path_factory.mktemp("model_dp")
+        train_cli.main([
+            "-s", str(dataset), "-m", str(out), "--n_devices", "8",
+            "--iterations", "12", "--capacity", "512",
+            "--max_init_points", "300", "--chunk", "32",
+            "--max_chunks_per_tile", "16", "--max_tiles_per_gaussian", "4",
+            "--densify_from_iter", "5", "--densification_interval", "6",
+            "--densify_until_iter", "10",
+            "--save_interval", "12", "--checkpoint_interval", "12",
+            "--log_interval", "4", "--eval",
+        ])
+        assert os.path.exists(out / "chkpnt12.npz")
+        assert os.path.exists(out / "metric_test.txt")
+
     def test_stage2_from_stage1(self, dataset, tmp_path_factory):
         from relightable3dgaussian_tpu.cli import train as train_cli
         out1 = tmp_path_factory.mktemp("model1")
