@@ -321,7 +321,12 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux,
     clone = sel & (max_scale <= percent_dense * extent)
     split = sel & (max_scale > percent_dense * extent)
 
-    keep = act & ~prune & ~split
+    # A split's child 0 REUSES the original's slot (in-place overwrite), so
+    # the point set is identical to the reference's remove-original +
+    # add-n_split-children, but a full pool degrades gracefully: when the
+    # remaining children can't be placed the point still survives (as one
+    # shrunk resampled child) instead of being destroyed.
+    keep = act & ~prune
     n_cloned = clone.sum()
     n_splits = split.sum()
 
@@ -331,7 +336,7 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux,
 
     clone_rank = jnp.cumsum(clone) - 1
     split_rank = jnp.cumsum(split) - 1
-    total_new = n_cloned + n_split * n_splits
+    total_new = n_cloned + (n_split - 1) * n_splits
 
     def dest_for(rank, valid):
         ok = valid & (rank < n_free)
@@ -372,19 +377,24 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux,
     new_params = scatter_rows(new_params, clone_dest, {})
     changed = changed.at[clone_dest].set(True, mode="drop")
 
-    # 2) Split children (n_split copies with resampled xyz, shrunk scale).
+    # 2) Split children: child 0 overwrites the original slot in place, the
+    #    remaining n_split-1 children scatter into free slots.
+    self_slot = jnp.arange(P, dtype=jnp.int32)
     for j in range(n_split):
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, (P, 3)) * scales_act
         child_xyz = params.xyz + jnp.einsum("pij,pj->pi", rot_mats, noise)
-        rank = n_cloned + n_split * split_rank + j
-        dest = dest_for(rank, split)
+        if j == 0:
+            dest = jnp.where(split, self_slot, P)
+        else:
+            rank = n_cloned + (n_split - 1) * split_rank + (j - 1)
+            dest = dest_for(rank, split)
         new_params = scatter_rows(
             new_params, dest, {"xyz": child_xyz, "scaling": new_scaling_raw})
         changed = changed.at[dest].set(True, mode="drop")
 
-    # Freed slots (pruned/split originals) also count as changed so their
-    # Adam moments don't leak into future occupants.
+    # Freed slots (pruned) also count as changed so their Adam moments
+    # don't leak into future occupants.
     changed = changed | (act & ~keep)
 
     def zero_changed(tree):
@@ -395,10 +405,10 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux,
 
     mu, nu = zero_changed(mu), zero_changed(nu)
 
-    # Activity: survivors + successfully placed new points.
+    # Activity: survivors (incl. in-place split child 0) + placed points.
     placed = jnp.zeros((P,), bool).at[clone_dest].set(True, mode="drop")
-    for j in range(n_split):
-        rank = n_cloned + n_split * split_rank + j
+    for j in range(1, n_split):
+        rank = n_cloned + (n_split - 1) * split_rank + (j - 1)
         placed = placed.at[dest_for(rank, split)].set(True, mode="drop")
     new_active = keep | placed
 

@@ -191,6 +191,28 @@ class TestDensify:
         n_children = (np.abs(scales[:, 0] - 0.3125) < 1e-4).sum()
         assert n_children >= 6
 
+    def test_split_at_full_capacity_keeps_points(self):
+        """With zero free slots, a split point must SURVIVE (in-place child
+        0) rather than being destroyed with its dropped children."""
+        params, aux, opt_state = self._setup(cap=20, n=20)  # pool full
+        params = params.replace(scaling=params.scaling.at[:6].set(np.log(0.5)))
+        aux = aux.replace(
+            xyz_grad_accum=aux.xyz_grad_accum.at[:6].set(10.0),
+            denom=aux.denom + 1.0,
+            weights_accum=aux.weights_accum + 1.0)
+        opt = OptimizationConfig(percent_dense=0.001)
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(1.0),
+            opt=opt)
+        assert int(stats.n_split) == 6
+        assert int(stats.n_dropped) == 6   # second children had no room
+        # nothing was lost: all 20 slots still active, split originals are
+        # now their own shrunk child 0
+        assert int(aux.active.sum()) == 20
+        scales = np.asarray(G.get_scaling(params))[:6]
+        assert np.allclose(scales, 0.5 / (0.8 * 2), atol=1e-4)
+
     def test_prune_low_opacity(self):
         params, aux, opt_state = self._setup()
         params = params.replace(opacity=params.opacity.at[:4].set(-10.0))
