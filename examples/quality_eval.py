@@ -289,11 +289,14 @@ def main():
         "--densify_grad_threshold", "0.0004",
         "--normal_densify_from_iter", str(args.iters1),
         "--max_capacity", "262144",
+        # compress the 30k-iteration xyz LR schedule into this run's length
+        "--position_lr_max_steps", str(args.iters1),
         "--lambda_mask_entropy", "0.1",
         "--lambda_normal_render_depth", "0.01",
         "--lambda_depth_var", "1e-2",
         "--save_interval", str(args.iters1),
-        "--checkpoint_interval", str(args.iters1),
+        # periodic checkpoints: the remote-TPU tunnel can wedge mid-run
+        "--checkpoint_interval", "1000",
         "--test_interval", str(max(500, args.iters1 // 4)),
     ])
 
@@ -310,7 +313,7 @@ def main():
         "--lambda_roughness_smooth", "0.002",
         "--lambda_env_smooth", "0.01",
         "--save_interval", str(total2),
-        "--checkpoint_interval", str(total2),
+        "--checkpoint_interval", "1000",
         "--test_interval", str(max(500, args.iters2 // 2)),
     ])
 
