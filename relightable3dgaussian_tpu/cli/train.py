@@ -317,7 +317,8 @@ def training(args) -> None:
         params, aux, opt_state = _run_stage1(
             params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
             extent, state, callback, n_devices=n_devices,
-            max_cap=getattr(args, "max_capacity", 0) or 0)
+            max_cap=getattr(args, "max_capacity", 0) or 0,
+            first_iter=first_iter)
     else:
         params, aux, opt_state, env, env_state = _run_stage2(
             params, aux, opt_state, env, env_state, vis, views, cfg, opt,
@@ -353,7 +354,8 @@ def _make_batcher(views, rng, n_devices, mesh):
 
 
 def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
-                extent, state, callback, n_devices=1, max_cap=0):
+                extent, state, callback, n_devices=1, max_cap=0,
+                first_iter=0):
     rng = np.random.default_rng(0)
     stack = []
     key = jax.random.PRNGKey(0)
@@ -367,7 +369,8 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                                      spatial_lr_scale=spatial_lr_scale)
         params, aux, opt_state = replicate((params, aux, opt_state), mesh)
         next_batch = _make_batcher(views, rng, n_devices, mesh)
-    for iteration in range(1, opt.iterations + 1):
+    # resume continues the iteration count (reference train.py:35-37)
+    for iteration in range(first_iter + 1, opt.iterations + 1):
         key, k1, k2 = jax.random.split(key, 3)
         if use_dp:
             params, aux, opt_state, metrics = dp_step(

@@ -131,7 +131,8 @@ def composite(binning: Binning, mean2d: jnp.ndarray, conic: jnp.ndarray,
         power = (-0.5 * (con[..., 0][:, :, None] * dx * dx
                          + con[..., 2][:, :, None] * dy * dy)
                  - con[..., 1][:, :, None] * dx * dy)
-        alpha = jnp.minimum(0.99, op[:, :, None] * jnp.exp(power))
+        alpha = jnp.minimum(0.99,
+                            op[:, :, None] * jnp.exp(jnp.minimum(power, 0.0)))
         ok = (power <= 0.0) & (alpha >= 1.0 / 255.0) & in_range[:, :, None]
         alpha = jnp.where(ok, alpha, 0.0)
 

@@ -113,7 +113,8 @@ def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm,
         dy = mean_y - py
         power = (-0.5 * (con_a * dx * dx + con_c * dy * dy)
                  - con_b * dx * dy)
-        alpha = jnp.minimum(0.99, opac * jnp.exp(power))
+        alpha = jnp.minimum(0.99, opac * jnp.exp(jnp.minimum(power, 0.0)))  # power>0 pairs are
+        # masked out anyway; clamping stops exp overflow -> 0*inf NaN grads
         lane = slot0 + lane_f
         ok = ((power <= 0.0) & (alpha >= 1.0 / 255.0)
               & (lane >= start) & (lane < end))

@@ -91,7 +91,7 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
         dy = mean_y - py
         power = (-0.5 * (con_a * dx * dx + con_c * dy * dy)
                  - con_b * dx * dy)
-        raw = opac * jnp.exp(power)
+        raw = opac * jnp.exp(jnp.minimum(power, 0.0))
         alpha = jnp.minimum(0.99, raw)
         lane = slot0 + lane_f
         ok = ((power <= 0.0) & (alpha >= 1.0 / 255.0)

@@ -50,7 +50,8 @@ def _alpha_at(prep: Preprocessed, px: jnp.ndarray, py: jnp.ndarray,
     con = prep.conic
     power = (-0.5 * (con[:, 0][:, None] * dx * dx + con[:, 2][:, None] * dy * dy)
              - con[:, 1][:, None] * dx * dy)
-    alpha = jnp.minimum(0.99, opacity[:, None] * jnp.exp(power))
+    alpha = jnp.minimum(0.99,
+                        opacity[:, None] * jnp.exp(jnp.minimum(power, 0.0)))
     ok = (power <= 0.0) & (alpha >= 1.0 / 255.0)
     # Tile-rect coverage test (the CUDA rasterizer only blends a gaussian in
     # tiles of its rect).
