@@ -177,6 +177,13 @@ def main():
     except Exception as e:
         log(f"pbr train bench failed: {type(e).__name__}: {e}")
 
+    print(json.dumps({
+        "metric": "render_fps_800x800_100k",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
     # Secondary: ray-traced visibility at the reference's training scale
     # (P=100k, S=64 → 6.4M rays; runs once per stage-2 job,
     # gaussian_model.py:312-342). Also probe S=384 ray batches (relighting
@@ -201,13 +208,6 @@ def main():
             f"mean_vis={float(vis_cache.visibility.mean()):.3f}")
     except Exception as e:
         log(f"trace bench failed: {type(e).__name__}: {e}")
-
-    print(json.dumps({
-        "metric": "render_fps_800x800_100k",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 4),
-    }))
 
 
 if __name__ == "__main__":

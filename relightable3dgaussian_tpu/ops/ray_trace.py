@@ -236,12 +236,28 @@ def _trace_rays(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
 
 def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, max_clusters: int = 64,
-                     ray_chunk: int = 4096, max_supers: int = 16):
+                     ray_chunk: int = 4096, max_supers: int = 16,
+                     host_batch: int = 131072):
     """Visibility for flat ray arrays [R, 3] (origin offset like the
     reference, bvh/__init__.py:62-71: o += 0.05 d). Returns dict with
-    "visibility" [R, 1], "contribute" [R, 1], "overflow" [R]."""
-    rays_o = rays_o + 0.05 * rays_d
+    "visibility" [R, 1], "contribute" [R, 1], "overflow" [R].
+
+    Large ray sets are traced as a HOST loop over `host_batch`-ray jit
+    dispatches: a single dispatch whose internal scan runs hundreds of
+    chunk iterations reliably crashes the TPU worker ("kernel fault") at
+    P~1e5 scale, while the same total work split into ~10-chunk dispatches
+    completes in seconds. Inside jit/shard_map (rays are tracers) the
+    in-dispatch scan path is used unchanged — callers there shard rays
+    first, keeping per-device dispatches small."""
     R = rays_o.shape[0]
+    if not isinstance(rays_o, jax.core.Tracer) and R > host_batch:
+        outs = [trace_visibility(bvh, rays_o[i:i + host_batch],
+                                 rays_d[i:i + host_batch], max_clusters,
+                                 ray_chunk, max_supers, host_batch)
+                for i in range(0, R, host_batch)]
+        return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    rays_o = rays_o + 0.05 * rays_d
     pad = (-R) % ray_chunk
     if pad:
         rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])

@@ -122,3 +122,38 @@ class TestTraceVisibility:
         out = trace_visibility(bvh, jnp.array([[0.0, 0, 0.0]]),
                                jnp.array([[0.0, 0, 1.0]]), ray_chunk=8)
         assert float(out["visibility"][0, 0]) == 1.0
+
+
+def test_host_batched_trace_matches_single_dispatch():
+    """The host-loop path (large R) must equal the one-dispatch scan path."""
+    import jax
+    import jax.numpy as jnp
+
+    from relightable3dgaussian_tpu.ops.ray_trace import (build_bvh,
+                                                         trace_visibility)
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    n = 64
+    xyz = jax.random.uniform(ks[0], (n, 3), minval=-1, maxval=1)
+    scaling = jax.random.uniform(ks[1], (n, 3), minval=0.05, maxval=0.2)
+    rot = jax.random.normal(ks[2], (n, 4))
+    rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+    op = jax.random.uniform(ks[3], (n,), minval=0.3, maxval=0.9)
+    nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    bvh = build_bvh(xyz, scaling, rot, op, nrm, cluster_size=16)
+
+    R = 999
+    rays_o = jax.random.uniform(ks[4], (R, 3), minval=-2, maxval=2)
+    d = jax.random.normal(key, (R, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    one = trace_visibility(bvh, rays_o, rays_d, ray_chunk=128,
+                           host_batch=1 << 30)
+    batched = trace_visibility(bvh, rays_o, rays_d, ray_chunk=128,
+                               host_batch=256)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(batched["visibility"]),
+                               np.asarray(one["visibility"]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(batched["contribute"]),
+                                  np.asarray(one["contribute"]))
