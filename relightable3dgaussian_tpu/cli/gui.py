@@ -133,6 +133,7 @@ class GUI:
         dpg.setup_dearpygui()
         dpg.show_viewport()
         self._last_drag = (0.0, 0.0)
+        self._last_pan = (0.0, 0.0)
 
     def _on_mode(self, sender, app_data):
         self.mode = app_data
@@ -144,8 +145,13 @@ class GUI:
         self._last_drag = (dx, dy)
 
     def _on_pan(self, sender, app_data):
+        # app_data carries the CUMULATIVE drag delta; pan by the increment
+        # since the last event (like _on_orbit) or panning accelerates
+        # quadratically over a single drag.
         _, dx, dy = app_data
-        self.orbit.pan(dx * 0.2, dy * 0.2)
+        lx, ly = self._last_pan
+        self.orbit.pan((dx - lx) * 0.2, (dy - ly) * 0.2)
+        self._last_pan = (dx, dy)
 
     def _on_zoom(self, sender, app_data):
         self.orbit.zoom(app_data)
@@ -180,6 +186,9 @@ class GUI:
         if not self._last_drag == (0.0, 0.0) and \
                 not dpg.is_mouse_button_down(dpg.mvMouseButton_Left):
             self._last_drag = (0.0, 0.0)
+        if not self._last_pan == (0.0, 0.0) and \
+                not dpg.is_mouse_button_down(dpg.mvMouseButton_Middle):
+            self._last_pan = (0.0, 0.0)
         dpg.render_dearpygui_frame()
         return True
 

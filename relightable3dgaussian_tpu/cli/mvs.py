@@ -32,8 +32,15 @@ def run_pipeline(dense_folder: str, num_src: int = 5, max_d: int = 256,
 
     # 1. conversion (skipped if cams/pair.txt already exist)
     pair_path = os.path.join(dense_folder, "pair.txt")
+    names_path = os.path.join(dense_folder, "names.txt")
     if not os.path.exists(pair_path):
         names = colmap_to_mvs(dense_folder, max_d=max_d)
+    elif os.path.exists(names_path):
+        # pair.txt indices follow COLMAP image-id order; names.txt persists
+        # that order (a lexicographic re-derivation could silently permute
+        # the ref/src association on rerun).
+        with open(names_path) as f:
+            names = [line.strip() for line in f if line.strip()]
     else:
         names = sorted(os.path.splitext(f)[0][:-4]
                        for f in os.listdir(os.path.join(dense_folder,
@@ -57,8 +64,21 @@ def run_pipeline(dense_folder: str, num_src: int = 5, max_d: int = 256,
     out_dir = os.path.join(dense_folder, "vis_mvsnet")
     os.makedirs(out_dir, exist_ok=True)
     depths, probs = {}, {}
+    skipped = set()
     for i, name in enumerate(names):
         srcs = [names[j] for j, _ in pairs[i][:num_src] if j < len(names)]
+        if not srcs:
+            # A view with no scored sources (no shared sparse points) cannot
+            # be sweep-matched; emit empty depth instead of crashing later.
+            h, w = images[name].shape[1:]
+            depths[name] = np.zeros((h, w), np.float32)
+            probs[name] = [np.zeros((h, w), np.float32)]
+            skipped.add(name)
+            save_pfm(os.path.join(out_dir, f"{name}_flow3.pfm"),
+                     depths[name])
+            print(f"[mvs] {i + 1}/{len(names)} {name}: no source views — "
+                  "skipped", flush=True)
+            continue
         d, ps = infer_depth(images[name], [images[s] for s in srcs],
                             cams[name], [cams[s] for s in srcs],
                             stage_planes=stage_planes)
@@ -78,6 +98,10 @@ def run_pipeline(dense_folder: str, num_src: int = 5, max_d: int = 256,
                for n in names}
     for i, name in enumerate(names):
         srcs = [names[j] for j, _ in pairs[i][:num_src] if j < len(names)]
+        if name in skipped or not srcs:
+            masks[name] = np.zeros_like(depths[name], dtype=bool)
+            print(f"[filter] {name}: skipped (no source views)", flush=True)
+            continue
         gmask, _ = geometric_filter(
             pmasked[name], cams[name],
             np.stack([pmasked[s] for s in srcs]),

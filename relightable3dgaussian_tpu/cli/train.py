@@ -136,6 +136,14 @@ def training(args) -> None:
             if opt_state.mu.base_color.shape[0] != params.capacity else opt_state
         print(f"Tracing visibility ({pipe.sample_num} samples)...")
         vis = update_visibility(params, aux.active, pipe.sample_num)
+        if vis.overflow_rays is not None:
+            ov_rays = int(np.asarray(vis.overflow_rays))
+            if ov_rays:
+                total_rays = vis.visibility.shape[0] * vis.visibility.shape[1]
+                print(f"[trace] WARNING: {ov_rays}/{total_rays} rays hit the "
+                      f"candidate caps (<= {int(np.asarray(vis.overflow_total))} "
+                      "clusters dropped — visibility may be biased bright; "
+                      "raise max_clusters/max_supers)")
         env = init_direct_light(model_cfg.env_resolution, opt.light_init)
         env_state = init_array_adam(env.env)
         env_ckpt = (os.path.join(os.path.dirname(args.checkpoint),
@@ -156,6 +164,26 @@ def training(args) -> None:
         cfg = raster_config(train_cams, 5, model_cfg.white_background,
                             args=args)
         cfg_eval = cfg
+
+    # Measured binning configuration (tier plan + pair budget) — the same
+    # auto-sizing the benchmarks use, so real training gets the tiered-sort
+    # speedup (the CUDA reference sizes these buffers dynamically per call,
+    # rasterizer_impl.cu:199-230). --no_auto_plan restores the dense default.
+    replan_fn = None
+    if not getattr(args, "no_auto_plan", False):
+        from ..train.autotune import plan_raster_config
+        probe_views = make_views(train_cams[:: max(1, len(train_cams) // 3)])
+
+        def replan_fn(cur_cfg, p, a):
+            new_cfg, _ = plan_raster_config(
+                cur_cfg, p, a.active, probe_views,
+                keep_buffer=bool(getattr(args, "buffer_multiple", 0)))
+            return new_cfg
+
+        cfg = replan_fn(cfg, params, aux)
+        import dataclasses as _dc
+        cfg_eval = _dc.replace(cfg_eval, tier_plan=cfg.tier_plan,
+                               buffer_multiple=cfg.buffer_multiple)
 
     ema = {}
     from ..utils.logging import MetricsLogger, debug_dump, save_training_vis
@@ -231,12 +259,19 @@ def training(args) -> None:
                     ema[k] = 0.4 * float(metrics[k]) + 0.6 * ema.get(k, 0.0)
             loss_val = float(metrics["loss"])
             if not np.isfinite(loss_val):
+                # Buffered flushing means the snapshot reflects CURRENT
+                # state (up to flush-interval iterations past the
+                # divergence), so label it with the flush iteration and say
+                # so — it must not be mistaken for the diverging step's
+                # inputs.
+                flush_it = pending[-1][0]
                 dump = debug_dump(
                     os.path.join(model_cfg.model_path,
-                                 f"snapshot_{it_i}"),
+                                 f"snapshot_{flush_it}"),
                     params=state["params"], aux=state["aux"])
                 raise FloatingPointError(
-                    f"non-finite loss at iteration {it_i}; inputs dumped "
+                    f"non-finite loss at iteration {it_i}; state as of "
+                    f"iteration {flush_it} (post-divergence) dumped "
                     f"to {dump}")
             logger.scalars(it_i, metrics if "densify" not in metrics else
                            {k: v for k, v in metrics.items()
@@ -286,6 +321,11 @@ def training(args) -> None:
                 d = metrics["densify"]
                 msg += (f" | densify +{int(d.n_cloned)}c/{int(d.n_split)}s"
                         f" -{int(d.n_pruned)}p")
+            ovp = int(np.asarray(metrics.get("overflow_pairs", 0)))
+            ovc = int(np.asarray(metrics.get("overflow_chunks", 0)))
+            if ovp or ovc:
+                msg += (f" | OVERFLOW pairs={ovp} chunks={ovc} "
+                        "(far pairs dropped; raise buffer_multiple / caps)")
             msg += f" | {n_act} pts | {time.time() - t0:.0f}s"
             print(msg, flush=True)
         if iteration % args.save_interval == 0 or iteration == opt.iterations:
@@ -318,7 +358,7 @@ def training(args) -> None:
             params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
             extent, state, callback, n_devices=n_devices,
             max_cap=getattr(args, "max_capacity", 0) or 0,
-            first_iter=first_iter)
+            first_iter=first_iter, replan_fn=replan_fn)
     else:
         params, aux, opt_state, env, env_state = _run_stage2(
             params, aux, opt_state, env, env_state, vis, views, cfg, opt,
@@ -355,7 +395,7 @@ def _make_batcher(views, rng, n_devices, mesh):
 
 def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                 extent, state, callback, n_devices=1, max_cap=0,
-                first_iter=0):
+                first_iter=0, replan_fn=None):
     rng = np.random.default_rng(0)
     stack = []
     key = jax.random.PRNGKey(0)
@@ -369,6 +409,23 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                                      spatial_lr_scale=spatial_lr_scale)
         params, aux, opt_state = replicate((params, aux, opt_state), mesh)
         next_batch = _make_batcher(views, rng, n_devices, mesh)
+
+    def maybe_replan(iteration, p, a):
+        """Adopt a re-measured binning plan (footprints drift as densify
+        splits gaussians; capacity growth re-compiles anyway)."""
+        nonlocal cfg, dp_step
+        if replan_fn is None:
+            return
+        new_cfg = replan_fn(cfg, p, a)
+        if new_cfg != cfg:
+            print(f"[ITER {iteration}] binning re-plan: "
+                  f"tier_plan={new_cfg.tier_plan} "
+                  f"buffer_multiple={new_cfg.buffer_multiple}")
+            cfg = new_cfg
+            if use_dp:
+                dp_step = make_dp_train_step(
+                    mesh, cfg=cfg, opt=opt,
+                    spatial_lr_scale=spatial_lr_scale)
     # resume continues the iteration count (reference train.py:35-37)
     for iteration in range(first_iter + 1, opt.iterations + 1):
         key, k1, k2 = jax.random.split(key, 3)
@@ -411,6 +468,12 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                               f"growing to {new_cap}")
                         params, aux = G.grow_capacity(params, aux, new_cap)
                         opt_state = _grow_opt_state(opt_state, params)
+                        maybe_replan(iteration, params, aux)
+                # Footprints drift as densify splits gaussians; re-measure
+                # the plan every 10 densify cycles (snap-to-grid keeps
+                # unchanged plans from recompiling).
+                if iteration % (10 * opt.densification_interval) == 0:
+                    maybe_replan(iteration, params, aux)
             if iteration % opt.opacity_reset_interval == 0 or (
                     cfg.white_background
                     and iteration == opt.densify_from_iter):
@@ -562,6 +625,10 @@ def main(argv=None):
                              "(0 = unbounded); overflow is counted")
     parser.add_argument("--max_init_points", type=int, default=0)
     parser.add_argument("--buffer_multiple", type=int, default=0)
+    parser.add_argument("--no_auto_plan", action="store_true",
+                        help="disable measured binning auto-config "
+                             "(tier plan + pair budget) and use the dense "
+                             "single-tier default")
     parser.add_argument("--chunk", type=int, default=0)
     parser.add_argument("--max_chunks_per_tile", type=int, default=0)
     parser.add_argument("--max_tiles_per_gaussian", type=int, default=0)

@@ -75,6 +75,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         "directions": dir_pp,
         "weights": out.weights,
         "raw_depth": out.depth,
+        "overflow_pairs": out.overflow_pairs,
+        "overflow_chunks": out.overflow_chunks,
     }
 
 

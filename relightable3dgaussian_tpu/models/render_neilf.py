@@ -36,18 +36,27 @@ EVAL_FEATURE_DIM = 28
 class VisibilityCache(NamedTuple):
     """Cached per-point incident sampling + traced visibility
     (reference pc._visibility_tracing/_incident_dirs/_incident_areas,
-    gaussian_model.py:337-342)."""
+    gaussian_model.py:337-342). `overflow_rays`/`overflow_total` report
+    tracer candidate-cap overflow (rays whose hit clusters exceeded the
+    caps; dropped candidates can only BRIGHTEN visibility) — callers should
+    log them, never discard silently."""
     visibility: jnp.ndarray      # [P, S, 1]
     incident_dirs: jnp.ndarray   # [P, S, 3]
     incident_areas: jnp.ndarray  # [P, S, 1]
+    overflow_rays: jnp.ndarray | None = None   # [] rays with any overflow
+    overflow_total: jnp.ndarray | None = None  # [] dropped-cluster bound
 
 
 def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
                       sample_num: int, max_clusters: int = 64,
-                      ray_chunk: int = 4096) -> VisibilityCache:
+                      ray_chunk: int = 1024,
+                      sharded_trace=None) -> VisibilityCache:
     """Trace visibility at Fibonacci directions around each point's normal
     (gaussian_model.py:312-342 `update_visibility`; deterministic sampling,
-    random_rotate=False)."""
+    random_rotate=False). Pass `sharded_trace` (from
+    `parallel.point_sharded.make_sharded_trace`) to spread the P*S rays over
+    a device mesh — the multi-chip analogue of the reference's chunk loop
+    (gaussian_model.py:322-336)."""
     xyz = params.xyz
     normal = G.get_normal(params)
     dirs, areas = fibonacci_sphere_sampling(normal, sample_num, key=None)
@@ -56,12 +65,23 @@ def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
     P, S, _ = dirs.shape
     rays_o = jnp.broadcast_to(xyz[:, None], (P, S, 3)).reshape(-1, 3)
     rays_d = dirs.reshape(-1, 3)
-    out = trace_visibility(bvh, rays_o, rays_d, max_clusters=max_clusters,
-                           ray_chunk=ray_chunk)
-    vis = out["visibility"].reshape(P, S, 1)
+    if sharded_trace is not None:
+        vis_flat, overflow = sharded_trace(bvh, rays_o, rays_d,
+                                           with_overflow=True)
+        vis = vis_flat.reshape(P, S, 1)
+    else:
+        out = trace_visibility(bvh, rays_o, rays_d,
+                               max_clusters=max_clusters,
+                               ray_chunk=ray_chunk)
+        vis = out["visibility"].reshape(P, S, 1)
+        overflow = out["overflow"]
     vis = jnp.where(active[:, None, None], vis, 0.0)
+    ray_active = jnp.broadcast_to(active[:, None], (P, S)).reshape(-1)
+    overflow = jnp.where(ray_active, overflow, 0)
     return VisibilityCache(visibility=vis, incident_dirs=dirs,
-                           incident_areas=areas)
+                           incident_areas=areas,
+                           overflow_rays=(overflow > 0).sum(),
+                           overflow_total=overflow.sum())
 
 
 def render_view(params: G.GaussianParams, active: jnp.ndarray,
@@ -146,6 +166,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         "visibility": r_vis,
         "diffuse_light": extras["diffuse_light"],
         "env": light_image(env),
+        "overflow_pairs": out.overflow_pairs,
+        "overflow_chunks": out.overflow_chunks,
     }
     pbr_img = r_pbr * out.opacity + (1 - out.opacity) * bg_color[:, None, None]
     results["pbr"] = rgb_to_srgb(pbr_img)

@@ -119,7 +119,17 @@ def colmap_to_mvs(dense_folder: str, max_d: int = 256,
             score[a, b] = score[b, a] = s
     view_sel = []
     for i in range(len(ids)):
-        order = np.argsort(score[i])[::-1][:num_pairs]
-        view_sel.append([(int(k), float(score[i, k])) for k in order])
+        order = np.argsort(score[i])[::-1]
+        # Self-pairs and zero-score views are never useful sources (a view
+        # matched against itself scores 1 at any depth; zero score means no
+        # shared sparse points).
+        sel = [(int(k), float(score[i, k])) for k in order
+               if int(k) != i and score[i, k] > 0.0][:num_pairs]
+        view_sel.append(sel)
     write_pair_txt(os.path.join(dense_folder, "pair.txt"), view_sel)
+    # pair.txt stores INDICES into the COLMAP image-id order used above —
+    # persist that order so reruns can't silently re-derive a different
+    # (e.g. lexicographic) association.
+    with open(os.path.join(dense_folder, "names.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
     return names

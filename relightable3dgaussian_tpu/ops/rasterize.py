@@ -90,4 +90,6 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
         n_contrib=n_contrib,
         num_rendered=binning.num_rendered,
         final_T=1.0 - opac[0],
+        overflow_pairs=binning.overflow_pairs,
+        overflow_chunks=binning.overflow_chunks,
     )

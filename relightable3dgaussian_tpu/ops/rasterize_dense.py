@@ -40,6 +40,8 @@ class RasterOut(NamedTuple):
     n_contrib: jnp.ndarray      # [H, W] int32 — number of blended gaussians
     num_rendered: jnp.ndarray   # [] int32 — total (gaussian, tile) pairs
     final_T: jnp.ndarray        # [H, W] final transmittance
+    overflow_pairs: jnp.ndarray | None = None   # [] int32 binning drops
+    overflow_chunks: jnp.ndarray | None = None  # [] int32 depth-cap drops
 
 
 def _alpha_at(prep: Preprocessed, px: jnp.ndarray, py: jnp.ndarray,

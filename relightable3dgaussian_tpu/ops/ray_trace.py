@@ -6,16 +6,25 @@ ray, the product of (1 - alpha_i) over intersected gaussians with alpha
 evaluated at the max-response point along the ray, early-exiting to 0 when
 the product drops below 0.9. That result is ORDER-INDEPENDENT (a commutative
 product with a monotone threshold), so no hierarchy traversal order matters —
-only candidate pruning. We therefore replace the Karras LBVH + per-ray stack
-with a regular structure:
+only candidate pruning. The structure here is therefore chosen for the TPU's
+strengths (dense blocked compute, sorts, big contiguous DMAs) instead of the
+GPU's (per-thread stacks, random gathers):
 
   * gaussians are Morton-sorted and grouped into fixed-size clusters with
-    precomputed AABBs (same 3-sigma ellipsoid corners as bvh/__init__.py:40-56);
-  * each ray slab-tests ALL cluster AABBs (a dense [rays x clusters] compare,
-    vectorization-friendly), keeps up to K hit clusters, and evaluates the
-    exact per-gaussian transmittance test of utility.cuh:91-110 on their
-    contents;
-  * cluster-capacity overflow is counted and reported, not silent.
+    precomputed AABBs (same 3-sigma ellipsoid extents as bvh/__init__.py:40-56)
+    and a second AABB level over groups of clusters ("superclusters");
+  * RAYS are sorted too — by (octahedral direction bin, origin Morton cell) —
+    so consecutive rays form coherent bundles, and are processed in BLOCKS;
+  * each block culls: slab-test superclusters per ray, pick the top
+    `max_supers` by block hit count, slab-test their child clusters per ray,
+    pick the top `max_clusters` by block hit count;
+  * the selected clusters' gaussians are gathered ONCE per block as dense
+    contiguous rows (the gather is amortized over the whole block — this is
+    what makes the design fast where a per-ray gather walk is not), then every
+    (ray, gaussian) pair in the [block, K*cluster_size] tile is evaluated with
+    the exact per-gaussian test of utility.cuh:91-110 as fused elementwise ops;
+  * capacity overflow (clusters a ray hits that did not make the block's
+    selection) is counted per ray and reported, never silent.
 
 Per-gaussian test parity (trace.cu:232-254): skip opacity < 1/255, skip
 backfacing (normal . dir > 0), skip max-response t < 0.01, alpha =
@@ -31,6 +40,8 @@ import jax.numpy as jnp
 from ..utils.quaternions import quaternion_to_rotmat
 from .knn import morton_codes
 
+FEAT_DIM = 16  # xyz 0:3 | packed inv-cov 3:9 | opacity 9 | normal 10:13 | pad
+
 
 class GaussianBVH(NamedTuple):
     """Morton-ordered two-level cluster structure (the TPU 'BVH')."""
@@ -43,6 +54,7 @@ class GaussianBVH(NamedTuple):
     cluster_hi: jnp.ndarray     # [C, 3]
     super_lo: jnp.ndarray       # [S, 3] AABBs over groups of clusters
     super_hi: jnp.ndarray       # [S, 3]
+    feat: jnp.ndarray           # [C, cluster_size * FEAT_DIM] packed rows
     cluster_size: int
     super_size: int             # clusters per supercluster
 
@@ -96,7 +108,7 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
 
     # Second level: AABBs over groups of super_size consecutive clusters —
     # rays prune at this level first, shrinking the per-ray slab matrix and
-    # the exact top-k selection domain ~super_size-fold.
+    # the block-level candidate selection domain ~super_size-fold.
     spad = (-C) % super_size
     sc_lo = (jnp.concatenate([cluster_lo, jnp.full((spad, 3), jnp.inf)])
              if spad else cluster_lo)
@@ -105,177 +117,265 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     S = sc_lo.shape[0] // super_size
     super_lo = sc_lo.reshape(S, super_size, 3).min(axis=1)
     super_hi = sc_hi.reshape(S, super_size, 3).max(axis=1)
+
+    # Packed per-gaussian feature rows, one contiguous row per CLUSTER, so
+    # the per-block work-set gather reads dense cluster_size*FEAT_DIM rows.
+    xyz_s = xyz[order_p].astype(jnp.float32)
+    cov_s = cov_inv[order_p].astype(jnp.float32)
+    nrm_s = normal[order_p].astype(jnp.float32)
+    feat = jnp.zeros((C * cluster_size, FEAT_DIM), jnp.float32)
+    feat = feat.at[:, 0:3].set(xyz_s)
+    feat = feat.at[:, 3:9].set(cov_s)
+    feat = feat.at[:, 9].set(op_sorted.astype(jnp.float32))
+    feat = feat.at[:, 10:13].set(nrm_s)
+    feat = feat.reshape(C, cluster_size * FEAT_DIM)
+
     return GaussianBVH(
         order=order_p,
-        xyz=xyz[order_p],
-        cov_inv=cov_inv[order_p],
+        xyz=xyz_s,
+        cov_inv=cov_s,
         opacity=op_sorted,
-        normal=normal[order_p],
+        normal=nrm_s,
         cluster_lo=cluster_lo,
         cluster_hi=cluster_hi,
         super_lo=super_lo,
         super_hi=super_hi,
+        feat=feat,
         cluster_size=cluster_size,
         super_size=super_size,
     )
 
 
-def _slab_hit(lo, hi, o, inv_d):
-    """Ray-AABB slab test; hit iff exit t > max(entry t, 0) and the box is
-    non-empty (padded/inactive boxes are [inf, -inf] and the inf arithmetic
-    would otherwise report a hit).
+def _direction_bins(d: jnp.ndarray, res: int = 8) -> jnp.ndarray:
+    """Octahedral-map direction bin in [0, res*res) for [R, 3] unit dirs."""
+    a = jnp.abs(d).sum(-1)
+    u = d[:, 0] / jnp.maximum(a, 1e-12)
+    v = d[:, 1] / jnp.maximum(a, 1e-12)
+    neg = d[:, 2] < 0
+    u2 = jnp.where(neg, (1.0 - jnp.abs(v)) * jnp.sign(u), u)
+    v2 = jnp.where(neg, (1.0 - jnp.abs(u)) * jnp.sign(v), v)
+    iu = jnp.clip(((u2 * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
+    iv = jnp.clip(((v2 * 0.5 + 0.5) * res).astype(jnp.int32), 0, res - 1)
+    return (iu * res + iv).astype(jnp.uint32)
 
-    lo/hi: [C, 3]; o/inv_d: [3]. Returns [C] bool.
-    """
-    t0 = (lo - o[None, :]) * inv_d[None, :]
-    t1 = (hi - o[None, :]) * inv_d[None, :]
-    tmin = jnp.minimum(t0, t1).max(-1)
-    tmax = jnp.maximum(t0, t1).min(-1)
+
+def _axis_slab(lo, hi, o, inv_d):
+    """Slab test, unrolled over the coordinate axis to keep temporaries at
+    rank [..., M] instead of [..., M, 3]. lo/hi [..., M, 3] broadcastable
+    against o/inv_d [..., 1, 3]. Returns ([..., M] hit, nonempty-box mask
+    folded in)."""
+    tmin = jnp.full(jnp.broadcast_shapes(lo[..., 0].shape, o[..., 0].shape),
+                    -jnp.inf, jnp.float32)
+    tmax = jnp.full_like(tmin, jnp.inf)
+    for ax in range(3):
+        t0 = (lo[..., ax] - o[..., ax]) * inv_d[..., ax]
+        t1 = (hi[..., ax] - o[..., ax]) * inv_d[..., ax]
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
     return (tmax > 0.0) & (tmax >= tmin) & (lo <= hi).all(-1)
 
 
-def _trace_rays(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
-                max_supers: int = 16):
-    """Trace a chunk of rays. rays_o/rays_d: [R, 3]. Returns (vis, n_contrib,
-    overflow) with vis [R].
+def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
+                   sentinel: int):
+    """Select up to k candidates with the highest hit counts.
 
-    Two-level pruning: slab-test the ~C/super_size supercluster AABBs, keep
-    up to `max_supers` hits (exact top-k over a small domain), then
-    slab-test only their children and keep up to `max_clusters` — the CUDA
-    LBVH's log-depth pruning (bvh/src/trace.cu:196-287) recast as two fixed
-    fan-out levels so every step stays a dense vectorized op.
-    """
-    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
-                            jnp.where(rays_d >= 0, 1e-12, -1e-12), rays_d)
+    cand_key [..., M] candidate ids (sentinel = invalid), counts [..., M]
+    int32 per-candidate ray-hit counts. Returns (sel_ids [..., k],
+    valid [..., k], sel_mask [..., M])."""
+    score = jnp.where((cand_key < sentinel) & (counts > 0), counts, -1)
+    top_vals, top_idx = jax.lax.top_k(score, k)
+    valid = top_vals > 0
+    sel_ids = jnp.where(
+        valid, jnp.take_along_axis(cand_key, top_idx, axis=-1), sentinel)
+    sel_mask = jnp.put_along_axis(
+        jnp.zeros(score.shape, bool), top_idx, valid, axis=-1, inplace=False)
+    return sel_ids, valid, sel_mask
 
-    n_clusters = bvh.cluster_lo.shape[0]
+
+def _trace_chunk(bvh: GaussianBVH, o, d, inv_d, max_clusters: int,
+                 max_supers: int):
+    """Trace a chunk of ray blocks. o/d/inv_d: [G, B, 3] (sorted, coherent
+    blocks). Returns (T, count, overflow) each [G, B].
+
+    Per block: two-level AABB culling with block-union candidate selection
+    (replaces the CUDA LBVH's per-ray DFS, bvh/src/trace.cu:196-287), then a
+    dense [B, K*cluster_size] pairwise transmittance tile whose gaussian rows
+    were gathered contiguously — no per-ray gathers anywhere."""
+    G_, B = o.shape[:2]
     n_super = bvh.super_lo.shape[0]
+    n_clusters = bvh.cluster_lo.shape[0]
     ssz = bvh.super_size
+    cs = bvh.cluster_size
     K1 = min(max_supers, n_super)
 
-    s_hits = jax.vmap(lambda o, i: _slab_hit(bvh.super_lo, bvh.super_hi,
-                                             o, i))(rays_o, inv_d)  # [R, S]
-    s_key = jnp.where(s_hits, jnp.arange(n_super)[None, :], n_super)
-    s_top = -jax.lax.top_k(-s_key, K1)[0]                     # [R, K1]
-    s_valid = s_top < n_super
-    s_over = jnp.maximum(s_hits.sum(-1) - K1, 0)
+    # --- Level 1: supercluster slabs per ray, block-level selection.
+    s_hit = _axis_slab(bvh.super_lo[None, None], bvh.super_hi[None, None],
+                       o[:, :, None], inv_d[:, :, None])        # [G, B, S]
+    s_cnt = s_hit.sum(1)                                        # [G, S]
+    s_ids = jnp.broadcast_to(jnp.arange(n_super, dtype=jnp.int32)[None],
+                             (G_, n_super))
+    sel_sup, sup_valid, sup_mask = _topk_by_count(s_ids, s_cnt, K1, n_super)
+    # Per-ray supers hit but not selected: each hides <= super_size clusters.
+    s_over = (s_hit & ~sup_mask[:, None, :]).sum(-1) * ssz      # [G, B]
 
-    # Children of the selected superclusters: [R, K1 * ssz] cluster ids.
-    child_raw = (jnp.clip(s_top, 0, n_super - 1)[:, :, None] * ssz
-                 + jnp.arange(ssz)[None, None, :]) \
-        .reshape(s_top.shape[0], -1)
-    in_range = child_raw < n_clusters  # pad children must not alias cluster
-    child = jnp.minimum(child_raw, n_clusters - 1)  # C-1 (double-counting)
-    c_lo = bvh.cluster_lo[child]                              # [R, K1*ssz, 3]
-    c_hi = bvh.cluster_hi[child]
-    t0 = (c_lo - rays_o[:, None, :]) * inv_d[:, None, :]
-    t1 = (c_hi - rays_o[:, None, :]) * inv_d[:, None, :]
-    tmin = jnp.minimum(t0, t1).max(-1)
-    tmax = jnp.maximum(t0, t1).min(-1)
-    hits = ((tmax > 0.0) & (tmax >= tmin) & (c_lo <= c_hi).all(-1)
-            & in_range
-            & jnp.repeat(s_valid, ssz, axis=1))               # [R, K1*ssz]
+    # --- Level 2: child-cluster slabs per ray, block-level selection.
+    child = (jnp.clip(sel_sup, 0, n_super - 1)[:, :, None] * ssz
+             + jnp.arange(ssz, dtype=jnp.int32)[None, None, :]
+             ).reshape(G_, K1 * ssz)                            # [G, M]
+    cand_ok = (child < n_clusters) & jnp.repeat(sup_valid, ssz, axis=1)
+    child = jnp.where(cand_ok, jnp.minimum(child, n_clusters - 1),
+                      n_clusters)
+    c_lo = bvh.cluster_lo[jnp.minimum(child, n_clusters - 1)]   # [G, M, 3]
+    c_hi = bvh.cluster_hi[jnp.minimum(child, n_clusters - 1)]
+    c_hit = _axis_slab(c_lo[:, None], c_hi[:, None],
+                       o[:, :, None], inv_d[:, :, None])        # [G, B, M]
+    c_hit = c_hit & cand_ok[:, None, :]
+    c_cnt = c_hit.sum(1)                                        # [G, M]
+    K2 = min(max_clusters, child.shape[1], n_clusters)
+    sel_clu, clu_valid, clu_mask = _topk_by_count(
+        child, c_cnt, K2, n_clusters)
+    c_over = (c_hit & ~clu_mask[:, None, :]).sum(-1)            # [G, B]
+    overflow = c_over + s_over
 
-    # Keep up to K hit clusters (by index order — any subset works since the
-    # product is commutative; overflow is counted).
-    key = jnp.where(hits, child, n_clusters)
-    topk = -jax.lax.top_k(-key, min(max_clusters, key.shape[1]))[0]  # [R, K]
-    valid_cluster = topk < n_clusters
-    overflow = jnp.maximum(hits.sum(-1) - max_clusters, 0) + s_over
+    # --- Gather the work set: dense contiguous cluster rows, once per block.
+    work = bvh.feat[jnp.minimum(sel_clu, n_clusters - 1)]       # [G,K2,cs*F]
+    work = work.reshape(G_, K2 * cs, FEAT_DIM)
+    gx, gy, gz = work[..., 0], work[..., 1], work[..., 2]
+    cxx, cxy, cxz = work[..., 3], work[..., 4], work[..., 5]
+    cyy, cyz, czz = work[..., 6], work[..., 7], work[..., 8]
+    op = work[..., 9]
+    nx, ny, nz = work[..., 10], work[..., 11], work[..., 12]
+    gvalid = jnp.repeat(clu_valid, cs, axis=1)                  # [G, N]
 
-    cs = bvh.cluster_size
-    K = topk.shape[1]
-    o = rays_o[:, None, :]
-    d = rays_d[:, None, :]
-
-    def quad(c, a, b):
-        """aᵀ Σ⁻¹ b for packed symmetric c."""
-        return (c[..., 0] * a[..., 0] * b[..., 0]
-                + c[..., 3] * a[..., 1] * b[..., 1]
-                + c[..., 5] * a[..., 2] * b[..., 2]
-                + c[..., 1] * (a[..., 0] * b[..., 1] + a[..., 1] * b[..., 0])
-                + c[..., 2] * (a[..., 0] * b[..., 2] + a[..., 2] * b[..., 0])
-                + c[..., 4] * (a[..., 1] * b[..., 2] + a[..., 2] * b[..., 1]))
-
-    def cluster_step(carry, j):
-        """Process each ray's j-th selected cluster ([R, cs] gaussians)."""
-        log_T, count = carry
-        base = jnp.clip(topk[:, j], 0, n_clusters - 1) * cs     # [R]
-        gidx = base[:, None] + jnp.arange(cs)[None, :]          # [R, cs]
-        gmask = valid_cluster[:, j][:, None]
-
-        mean = bvh.xyz[gidx]
-        cov = bvh.cov_inv[gidx]
-        op = bvh.opacity[gidx]
-        nrm = bvh.normal[gidx]
-        mu = mean - o
-
-        t_num = quad(cov, mu, d)
-        t_den = jnp.maximum(quad(cov, d, d), 1e-12)
-        t = t_num / t_den          # max-response position along the ray
-        pos_delta = mu - t[..., None] * d
-        power = -0.5 * quad(cov, pos_delta, pos_delta)
-
-        ok = (gmask
-              & (op >= 1.0 / 255.0)
-              & ((nrm * d).sum(-1) <= 0.0)
-              & (t >= 0.01)
-              & (power <= 0.0))
-        alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
-        log_T = log_T + jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(-1)
-        return (log_T, count + ok.sum(-1)), None
-
-    (log_T, count), _ = jax.lax.scan(
-        cluster_step,
-        (jnp.zeros(rays_o.shape[0]), jnp.zeros(rays_o.shape[0], jnp.int32)),
-        jnp.arange(K))
+    # --- Dense pairwise per-gaussian test (trace.cu:232-254), [G, B, N].
+    # Unrolled over xyz so every temporary is [G, B, N]; the residual vector
+    # (mu - t d) is formed BEFORE its quadratic so `power` never suffers the
+    # (|mu|/scale)^2 cancellation a factored expansion would.
+    ox, oy, oz = o[..., 0:1], o[..., 1:2], o[..., 2:3]          # [G, B, 1]
+    dx, dy, dz = d[..., 0:1], d[..., 1:2], d[..., 2:3]
+    g1 = gx[:, None, :]
+    g2 = gy[:, None, :]
+    g3 = gz[:, None, :]
+    mux, muy, muz = g1 - ox, g2 - oy, g3 - oz                   # [G, B, N]
+    C1, C2, C3 = cxx[:, None, :], cxy[:, None, :], cxz[:, None, :]
+    C4, C5, C6 = cyy[:, None, :], cyz[:, None, :], czz[:, None, :]
+    qdx = C1 * dx + C2 * dy + C3 * dz                           # (Σ⁻¹ d)_x
+    qdy = C2 * dx + C4 * dy + C5 * dz
+    qdz = C3 * dx + C5 * dy + C6 * dz
+    t_num = mux * qdx + muy * qdy + muz * qdz
+    t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz, 1e-12)
+    t = t_num / t_den           # max-response position along the ray
+    px = mux - t * dx
+    py = muy - t * dy
+    pz = muz - t * dz
+    power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
+                    + py * (C2 * px + C4 * py + C5 * pz)
+                    + pz * (C3 * px + C5 * py + C6 * pz))
+    ndotd = nx[:, None, :] * dx + ny[:, None, :] * dy + nz[:, None, :] * dz
+    ok = (gvalid[:, None, :]
+          & (op[:, None, :] >= 1.0 / 255.0)
+          & (ndotd <= 0.0)
+          & (t >= 0.01)
+          & (power <= 0.0))
+    alpha = jnp.where(ok, op[:, None, :] * jnp.exp(power), 0.0)
+    log_T = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(-1)      # [G, B]
+    count = ok.sum(-1)
     T = jnp.exp(log_T)
-    vis = jnp.where(T >= 0.9, T, 0.0)
-    return vis, count, overflow
+    return T, count, overflow
+
+
+def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
+                  block_rays: int, max_supers: int,
+                  rays_per_chunk: int = 8192):
+    """Trace rays already padded to a multiple of block_rays, in sorted
+    (coherent-block) order. Returns (T, count, overflow) flat arrays."""
+    Rp = rays_o.shape[0]
+    n_blocks = Rp // block_rays
+    G_ = max(1, min(n_blocks, rays_per_chunk // block_rays))
+    # Pad the block axis so the scan divides evenly.
+    bpad = (-n_blocks) % G_
+    if bpad:
+        rays_o = jnp.concatenate(
+            [rays_o, jnp.tile(rays_o[-1:], (bpad * block_rays, 1))])
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.tile(rays_d[-1:], (bpad * block_rays, 1))])
+        n_blocks += bpad
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
+                            jnp.where(rays_d >= 0, 1e-12, -1e-12), rays_d)
+    n_chunks = n_blocks // G_
+    OB = rays_o.reshape(n_chunks, G_, block_rays, 3)
+    DB = rays_d.reshape(n_chunks, G_, block_rays, 3)
+    IB = inv_d.reshape(n_chunks, G_, block_rays, 3)
+
+    def body(_, odi):
+        o, d, i = odi
+        return None, _trace_chunk(bvh, o, d, i, max_clusters, max_supers)
+
+    _, (T, count, overflow) = jax.lax.scan(body, None, (OB, DB, IB))
+    flat = lambda a: a.reshape(-1)[:Rp]
+    return flat(T), flat(count), flat(overflow)
 
 
 def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, max_clusters: int = 64,
-                     ray_chunk: int = 4096, max_supers: int = 16,
-                     host_batch: int = 131072):
+                     ray_chunk: int = 1024, max_supers: int = 16,
+                     host_batch: int = 1 << 20, sort_rays: bool = True,
+                     dir_res: int = 8, rays_per_chunk: int = 32768):
     """Visibility for flat ray arrays [R, 3] (origin offset like the
     reference, bvh/__init__.py:62-71: o += 0.05 d). Returns dict with
     "visibility" [R, 1], "contribute" [R, 1], "overflow" [R].
 
-    Large ray sets are traced as a HOST loop over `host_batch`-ray jit
-    dispatches: a single dispatch whose internal scan runs hundreds of
-    chunk iterations reliably crashes the TPU worker ("kernel fault") at
-    P~1e5 scale, while the same total work split into ~10-chunk dispatches
-    completes in seconds. Inside jit/shard_map (rays are tracers) the
-    in-dispatch scan path is used unchanged — callers there shard rays
-    first, keeping per-device dispatches small."""
+    `ray_chunk` is the coherence-block size: rays are sorted by (direction
+    bin, origin Morton cell) and culled per block of `ray_chunk` rays.
+    Large concrete ray sets are traced as a HOST loop over `host_batch`-ray
+    dispatches so a single device program stays bounded (a multi-minute
+    dispatch can wedge the remote TPU worker); under jit/shard_map (rays are
+    tracers) the fully-jittable path below is used as one program — callers
+    there shard rays first, keeping per-device dispatches small."""
     R = rays_o.shape[0]
     if not isinstance(rays_o, jax.core.Tracer) and R > host_batch:
         outs = [trace_visibility(bvh, rays_o[i:i + host_batch],
                                  rays_d[i:i + host_batch], max_clusters,
-                                 ray_chunk, max_supers, host_batch)
+                                 ray_chunk, max_supers, host_batch,
+                                 sort_rays, dir_res, rays_per_chunk)
                 for i in range(0, R, host_batch)]
         return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
-    rays_o = rays_o + 0.05 * rays_d
-    pad = (-R) % ray_chunk
+    rays_o = rays_o.astype(jnp.float32) + 0.05 * rays_d.astype(jnp.float32)
+    rays_d = rays_d.astype(jnp.float32)
+    B = ray_chunk
+    pad = (-R) % B
     if pad:
-        rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])
-        rays_d = jnp.concatenate(
-            [rays_d, jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))])
-    n_chunks = rays_o.shape[0] // ray_chunk
+        rays_o = jnp.concatenate([rays_o, jnp.tile(rays_o[-1:], (pad, 1))])
+        rays_d = jnp.concatenate([rays_d, jnp.tile(rays_d[-1:], (pad, 1))])
+    Rp = rays_o.shape[0]
 
-    def body(_, oc):
-        o, d = oc
-        return None, _trace_rays(bvh, o, d, max_clusters, max_supers)
+    if sort_rays and Rp > B:
+        # Coherent bundles: octahedral direction bin major, origin Morton
+        # cell minor. Finer direction bins matter most — the per-block
+        # candidate union scales with the bundle's angular spread times the
+        # travel distance (a diverging cone sweeps cluster area ~ aperture²).
+        dbin = _direction_bins(rays_d, res=dir_res)
+        dir_bits = 2 * (dir_res - 1).bit_length()
+        code = morton_codes(rays_o, lo=bvh.cluster_lo.min(0),
+                            hi=bvh.cluster_hi.max(0))
+        morton_bits = 32 - dir_bits
+        key = ((dbin << jnp.uint32(morton_bits))
+               | (code >> jnp.uint32(max(0, 30 - morton_bits))))
+        perm = jnp.argsort(key)
+        T, count, overflow = _trace_sorted(
+            bvh, rays_o[perm], rays_d[perm], max_clusters, B, max_supers,
+            rays_per_chunk)
+        inv = jnp.zeros((Rp,), jnp.int32).at[perm].set(
+            jnp.arange(Rp, dtype=jnp.int32))
+        T, count, overflow = T[inv], count[inv], overflow[inv]
+    else:
+        T, count, overflow = _trace_sorted(
+            bvh, rays_o, rays_d, max_clusters, B, max_supers,
+            rays_per_chunk)
 
-    _, (vis, contrib, overflow) = jax.lax.scan(
-        body, None,
-        (rays_o.reshape(n_chunks, ray_chunk, 3),
-         rays_d.reshape(n_chunks, ray_chunk, 3)))
-    vis = vis.reshape(-1)[:R]
-    contrib = contrib.reshape(-1)[:R]
-    overflow = overflow.reshape(-1)[:R]
+    T, count, overflow = T[:R], count[:R], overflow[:R]
+    vis = jnp.where(T >= 0.9, T, 0.0)
     return {"visibility": vis[:, None],
-            "contribute": contrib[:, None],
+            "contribute": count[:, None],
             "overflow": overflow}

@@ -241,12 +241,14 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     key_parts = []
     total = jnp.int32(0)
     spill = jnp.int32(0)
+    cnt = jnp.zeros((P,), jnp.int32)  # emitted pairs per gaussian id
     if len(tiers) == 1:
         all_ids = jnp.arange(P, dtype=jnp.int32)
         k0, c0 = _emit_tier_keys(prep, cfg, all_ids, tiers[0][0], emit,
                                  rank_of, opacity, P2)
         key_parts.append(k0)
         total = total + c0.sum()
+        cnt = c0.astype(jnp.int32)
     else:
         size_order = jnp.argsort(-emit).astype(jnp.int32)  # desc footprint
         lo = 0
@@ -259,6 +261,7 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
                                    rank_of, opacity, P2)
             key_parts.append(k)
             total = total + c.sum()
+            cnt = cnt.at[rows].set(c.astype(jnp.int32))
             lo += M
         cap0 = tiers[0][0]
         rows0 = size_order[lo:]
@@ -268,7 +271,31 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
                                  opacity, P2)
         key_parts.append(k0)
         total = total + c0.sum()
+        cnt = cnt.at[rows0].set(c0.astype(jnp.int32))
     key = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
+
+    # Budget enforcement drops the DEEPEST gaussians' pairs first (true
+    # far-to-near semantics): find the largest depth rank r_max whose
+    # cumulative pair count still fits the B-slot budget and invalidate
+    # deeper pairs before the sort. (A plain post-sort truncation would
+    # instead delete ALL pairs of the highest-index image tiles — a visibly
+    # corrupt region rather than a soft far-plane.) The CUDA reference never
+    # drops (it resizes buffers, rasterizer_impl.cu:199-230); here overflow
+    # is measured + reported and callers re-size buffer_multiple from it.
+    if key.shape[0] > B:
+        cnt_by_rank = cnt[depth_order]                    # pairs per rank
+        cum = jnp.cumsum(cnt_by_rank)
+        # number of leading ranks whose pairs all fit
+        n_keep = jnp.searchsorted(cum, jnp.int32(B), side="right")
+        kept = jnp.where(n_keep > 0, cum[jnp.maximum(n_keep - 1, 0)], 0)
+        rank_in_key = key % jnp.uint32(P2)
+        key = jnp.where((key != jnp.uint32(0xFFFFFFFF))
+                        & (rank_in_key < n_keep.astype(jnp.uint32)),
+                        key, jnp.uint32(0xFFFFFFFF))
+        budget_drop = total - kept.astype(jnp.int32)
+        total = kept.astype(jnp.int32)
+    else:
+        budget_drop = jnp.int32(0)
 
     sorted_key = jax.lax.sort(key)
     sorted_key = (sorted_key[:B] if sorted_key.shape[0] >= B else
@@ -300,7 +327,7 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     work_offset = jnp.where(wvalid, tile_start[tc] + wj * cfg.chunk, 0)
 
     pair_overflow = (jnp.maximum(prep.tiles_touched - dmax, 0).sum()
-                     + spill + jnp.maximum(total - B, 0))
+                     + spill + budget_drop)
     return Binning(
         sorted_rank=sorted_rank,
         depth_order=depth_order,
@@ -309,7 +336,7 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
         tile_end=tile_end,
         work_tile=work_tile,
         work_offset=work_offset,
-        num_rendered=jnp.minimum(total, B).astype(jnp.int32),
+        num_rendered=total.astype(jnp.int32),
         overflow_pairs=pair_overflow.astype(jnp.int32),
         overflow_chunks=(n_chunks - n_chunks_capped).sum().astype(jnp.int32),
     )

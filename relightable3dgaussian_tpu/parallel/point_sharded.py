@@ -64,37 +64,38 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 64,
     structure replicated.
     """
     def inner(sizes, xyz, cov_inv, opacity, normal, c_lo, c_hi,
-              s_lo, s_hi, rays_o, rays_d):
+              s_lo, s_hi, feat, rays_o, rays_d):
         cluster_size, super_size = sizes
         bvh = GaussianBVH(order=jnp.zeros((0,), jnp.int32), xyz=xyz,
                           cov_inv=cov_inv, opacity=opacity, normal=normal,
                           cluster_lo=c_lo, cluster_hi=c_hi,
-                          super_lo=s_lo, super_hi=s_hi,
+                          super_lo=s_lo, super_hi=s_hi, feat=feat,
                           cluster_size=cluster_size, super_size=super_size)
         out = trace_visibility(bvh, rays_o, rays_d,
                                max_clusters=max_clusters,
                                ray_chunk=ray_chunk)
-        return out["visibility"]
+        return out["visibility"], out["overflow"]
 
     import functools
 
     def make(sizes):
         return jax.jit(jax.shard_map(
             functools.partial(inner, sizes), mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(),
                       P(DP_AXIS), P(DP_AXIS)),
-            out_specs=P(DP_AXIS),
+            out_specs=(P(DP_AXIS), P(DP_AXIS)),
             check_vma=False))
 
     cache: dict[tuple, object] = {}
 
-    def fn(bvh: GaussianBVH, rays_o, rays_d):
+    def fn(bvh: GaussianBVH, rays_o, rays_d, with_overflow: bool = False):
         sizes = (bvh.cluster_size, bvh.super_size)
         if sizes not in cache:
             cache[sizes] = make(sizes)
-        return cache[sizes](
+        vis, overflow = cache[sizes](
             bvh.xyz, bvh.cov_inv, bvh.opacity, bvh.normal,
             bvh.cluster_lo, bvh.cluster_hi, bvh.super_lo, bvh.super_hi,
-            rays_o, rays_d)
+            bvh.feat, rays_o, rays_d)
+        return (vis, overflow) if with_overflow else vis
 
     return fn

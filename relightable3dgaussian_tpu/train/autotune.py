@@ -1,0 +1,75 @@
+"""Binning auto-configuration: measured tier plans + pair budgets.
+
+The CUDA reference sizes its binning buffers dynamically per call
+(r3dg-rasterization/cuda_rasterizer/rasterizer_impl.cu:199-230: the
+`resizeFunctional` byte buffers grow to whatever `num_rendered` needs).
+XLA's static shapes can't do that, so the TPU rasterizer uses a fixed
+budget (`cfg.buffer_multiple * P`) and a tiered dense-emission plan
+(`cfg.tier_plan`) — this module right-sizes BOTH from measured footprints
+of a few probe views so real training runs with the same zero-overflow,
+small-sort configuration the benchmarks use, instead of the conservative
+dense default.
+
+`plan_raster_config` is called by the trainer at startup and again after
+capacity growth / periodically during densification (footprints change as
+gaussians split and shrink). Re-planning changes the compiled program, so
+plans are snapped to a coarse grid (buffer multiples of 2) to keep the
+persistent compile cache warm across iterations and runs.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ..models import gaussians as G
+from ..ops.config import RasterConfig
+from ..ops.projection import preprocess
+from ..ops.tiles import auto_tier_plan, bin_gaussians
+
+
+def plan_raster_config(cfg: RasterConfig, params, active, views, *,
+                       margin: float = 1.2, max_probe_views: int = 3,
+                       keep_buffer: bool = False, verbose: bool = True):
+    """Measure footprints on a few probe views and return a re-planned cfg.
+
+    Returns (new_cfg, info) where info has the measured pair count, the
+    probe overflow (0 by construction unless the caps were clamped), and
+    the chosen plan. Set keep_buffer=True to only fit the tier plan and
+    leave cfg.buffer_multiple as-is (e.g. when the user pinned it).
+    """
+    probes = views[:: max(1, len(views) // max_probe_views)][:max_probe_views]
+    opacity = G.get_opacity(params)[:, 0]
+
+    def probe_prep(v, c):
+        return preprocess(params.xyz, G.get_scaling(params),
+                          G.get_rotation(params), G.get_shs(params), None,
+                          v.cam, c, active, opacity=opacity)
+
+    touched = np.concatenate(
+        [np.asarray(probe_prep(v, cfg).tiles_touched) for v in probes])
+    plan = auto_tier_plan(touched, cfg.max_tiles_per_gaussian)
+    new_cfg = dataclasses.replace(cfg, tier_plan=plan)
+
+    pairs = 0
+    overflow = 0
+    for v in probes:
+        b = bin_gaussians(probe_prep(v, new_cfg), new_cfg, opacity)
+        pairs = max(pairs, int(b.num_rendered))
+        overflow = max(overflow, int(b.overflow_pairs))
+    if not keep_buffer:
+        P = params.capacity
+        # headroom + snap to even multiples so repeated plans hit the
+        # persistent compile cache
+        bm = -(-int(pairs * margin) // P)
+        bm = max(4, -(-bm // 2) * 2)
+        new_cfg = dataclasses.replace(new_cfg, buffer_multiple=bm)
+    info = {"pairs": pairs, "overflow": overflow, "plan": plan,
+            "buffer_multiple": new_cfg.buffer_multiple}
+    if verbose:
+        print(f"[plan] tier_plan={plan} pairs={pairs} "
+              f"probe_overflow={overflow} "
+              f"buffer_multiple={new_cfg.buffer_multiple} "
+              f"({len(probes)} probe views)", flush=True)
+    return new_cfg, info

@@ -47,6 +47,9 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
     metrics = dict(results["tb_dict"])
     metrics["loss"] = loss
     metrics["n_active"] = aux.active.sum()
+    if results.get("overflow_pairs") is not None:
+        metrics["overflow_pairs"] = results["overflow_pairs"]
+        metrics["overflow_chunks"] = results["overflow_chunks"]
     return new_params, new_aux, new_opt_state, metrics
 
 

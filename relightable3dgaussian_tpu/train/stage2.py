@@ -60,6 +60,9 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
     metrics["loss"] = loss
     metrics["light_mean"] = results["env"].mean()
     metrics["n_active"] = aux.active.sum()
+    if results.get("overflow_pairs") is not None:
+        metrics["overflow_pairs"] = results["overflow_pairs"]
+        metrics["overflow_chunks"] = results["overflow_chunks"]
     return new_params, new_aux, new_opt_state, new_env, new_env_state, metrics
 
 
