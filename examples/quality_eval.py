@@ -16,7 +16,9 @@ scores:
 
 The training illumination is /root/reference/env_map/envmap6.exr and the
 relighting target envmap12.exr — the same real assets the reference
-evaluates with. Results land in QUALITY_r02.md.
+evaluates with. Results land in QUALITY_r03.md. Crash resilience: each
+stage auto-resumes from its newest periodic checkpoint, so a wrapper can
+simply re-run this script until it exits 0.
 
 Usage: python examples/quality_eval.py [--workdir /tmp/r3dg_quality]
        [--size 200] [--iters1 7000] [--iters2 3000] [--quick]
@@ -264,7 +266,7 @@ def main():
                     help="reuse the existing stage-1 checkpoint")
     ap.add_argument("--skip2", action="store_true",
                     help="reuse the existing stage-2 checkpoint")
-    ap.add_argument("--report", default="QUALITY_r02.md")
+    ap.add_argument("--report", default="QUALITY_r03.md")
     args = ap.parse_args()
     if args.quick:
         args.size, args.n_train, args.n_test = 100, 24, 4
@@ -297,9 +299,26 @@ def main():
     report = {}
     from relightable3dgaussian_tpu.cli import train as train_cli
 
+    def latest_ckpt(d):
+        """Newest chkpnt<iter>.npz in d (crash-resume support)."""
+        import glob
+        import re
+        cs = glob.glob(os.path.join(d, "chkpnt*.npz"))
+        its = [int(re.search(r"chkpnt(\d+)", c).group(1)) for c in cs]
+        if not its:
+            return None, 0
+        it = max(its)
+        return os.path.join(d, f"chkpnt{it}.npz"), it
+
     # ---------------- stage 1 ----------------
+    ck1, it1 = latest_ckpt(out1)
+    if it1 >= args.iters1:
+        args.skip1 = True
+    resume1 = ["-c", ck1] if (ck1 and not args.skip1) else []
+    if resume1:
+        print(f"[train] resuming stage 1 from {ck1} (iter {it1})")
     print("[train] stage 1 (render)..." + (" [skipped]" if args.skip1 else ""))
-    args.skip1 or train_cli.main([
+    args.skip1 or train_cli.main(resume1 + [
         "-s", scene_dir, "-m", out1, "-t", "render", "--eval", "-w",
         "--iterations", str(args.iters1),
         "--densify_until_iter", str(args.iters1 // 2),
@@ -323,16 +342,34 @@ def main():
     ])
 
     # ---------------- stage 2 ----------------
-    print("[train] stage 2 (neilf)..." + (" [skipped]" if args.skip2 else ""))
     total2 = args.iters1 + args.iters2
+    ck2, it2_found = latest_ckpt(out2)
+    if it2_found >= total2:
+        args.skip2 = True
+    stage2_from = (ck2 if (ck2 and it2_found > args.iters1)
+                   else os.path.join(out1, f"chkpnt{args.iters1}.npz"))
+    if stage2_from == ck2:
+        print(f"[train] resuming stage 2 from {ck2} (iter {it2_found})")
+    print("[train] stage 2 (neilf)..." + (" [skipped]" if args.skip2 else ""))
+    # Stage-2 LR recipe = the reference's NeRF-synthetic protocol
+    # (script/run_nerf.sh:24-41): geometry/SH LRs cut ~10x so the PBR
+    # decomposition fits a quasi-frozen shape instead of chasing it.
     args.skip2 or train_cli.main([
         "-s", scene_dir, "-m", out2, "-t", "neilf", "--eval", "-w",
-        "-c", os.path.join(out1, f"chkpnt{args.iters1}.npz"),
+        "-c", stage2_from,
         "--iterations", str(total2),
         "--sample_num", str(args.sample_num),
+        "--position_lr_init", "0.000016",
+        "--position_lr_final", "0.00000016",
+        "--normal_lr", "0.001",
+        "--sh_lr", "0.00025",
+        "--opacity_lr", "0.005",
+        "--scaling_lr", "0.0005",
+        "--rotation_lr", "0.0001",
         "--lambda_light", "0.01",
-        "--lambda_base_color_smooth", "0.006",
-        "--lambda_roughness_smooth", "0.002",
+        "--lambda_base_color_smooth", "0",
+        "--lambda_roughness_smooth", "0",
+        "--lambda_light_smooth", "0",
         "--lambda_env_smooth", "0.01",
         "--save_interval", str(total2),
         "--checkpoint_interval", "1000",
@@ -472,7 +509,7 @@ def main():
 
     # ---------------- report ----------------
     lines = [
-        "# QUALITY — round 2 quality proof on real HDR assets",
+        "# QUALITY — end-to-end quality proof on real HDR assets",
         "",
         f"Generated by `examples/quality_eval.py` on "
         f"{time.strftime('%Y-%m-%d %H:%M')} "

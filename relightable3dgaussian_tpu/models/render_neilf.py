@@ -16,7 +16,8 @@ from .. import losses
 from ..ops.camera import pixel_directions
 from ..ops.config import RasterConfig
 from ..ops.rasterize import rasterize
-from ..ops.ray_trace import build_bvh, trace_visibility
+from ..ops.ray_trace import (build_bvh, trace_visibility,
+                             trace_visibility_adaptive)
 from ..ops.shading import rendering_equation
 from ..train.config import OptimizationConfig
 from ..utils.graphics import fibonacci_sphere_sampling, rgb_to_srgb
@@ -48,8 +49,8 @@ class VisibilityCache(NamedTuple):
 
 
 def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
-                      sample_num: int, max_clusters: int = 64,
-                      ray_chunk: int = 1024,
+                      sample_num: int, max_clusters: int = 96,
+                      ray_chunk: int = 128,
                       sharded_trace=None) -> VisibilityCache:
     """Trace visibility at Fibonacci directions around each point's normal
     (gaussian_model.py:312-342 `update_visibility`; deterministic sampling,
@@ -70,9 +71,13 @@ def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
                                            with_overflow=True)
         vis = vis_flat.reshape(P, S, 1)
     else:
-        out = trace_visibility(bvh, rays_o, rays_d,
-                               max_clusters=max_clusters,
-                               ray_chunk=ray_chunk)
+        # Concrete rays get the cap-escalating tracer (retraces the few
+        # possibly-wrong rays until exact); under jit the single-pass
+        # tracer runs with the caps given.
+        tracer_fn = (trace_visibility if isinstance(rays_o, jax.core.Tracer)
+                     else trace_visibility_adaptive)
+        out = tracer_fn(bvh, rays_o, rays_d, max_clusters=max_clusters,
+                        ray_chunk=ray_chunk)
         vis = out["visibility"].reshape(P, S, 1)
         overflow = out["overflow"]
     vis = jnp.where(active[:, None, None], vis, 0.0)

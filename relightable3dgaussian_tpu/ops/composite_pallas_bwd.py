@@ -44,7 +44,7 @@ GRAD_FIELDS = 8
 def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
                 gattr_init, gimg_ref, ggeom_hbm, gattr_hbm,
                 data_vmem, grad_vmem, gattr_vmem,
-                sem_g, sem_w, sem_x, *, cfg: RasterConfig):
+                sem_g, sem_w, sem_x, sem_ww, sem_xw, *, cfg: RasterConfig):
     del ggeom_init, gattr_init  # aliased outputs (pre-zeroed)
     tile = cfg.tile
     tt = tile * tile
@@ -64,13 +64,30 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     g_img = gimg_ref[0]                           # [tt, A_pad]
 
-    def load_chunk(c):
-        row = row0 + c
-        cp_g = pltpu.make_async_copy(data_hbm.at[row], data_vmem, sem_g)
-        cp_g.start()
-        cp_g.wait()
+    # Double-buffered DMA descriptors (slot = chunk % 2): data loads in both
+    # phases; gradient-row RMW loads/stores in phase B. Constructing a
+    # matching descriptor again to wait is the documented Pallas pattern.
+    def data_dma(slot, c):
+        return pltpu.make_async_copy(data_hbm.at[row0 + c],
+                                     data_vmem.at[slot], sem_g.at[slot])
 
-    def chunk_terms(c, T):
+    def gload_dma(slot, c):
+        return pltpu.make_async_copy(ggeom_hbm.at[row0 + c],
+                                     grad_vmem.at[slot], sem_w.at[slot])
+
+    def aload_dma(slot, c):
+        return pltpu.make_async_copy(gattr_hbm.at[row0 + c],
+                                     gattr_vmem.at[slot], sem_x.at[slot])
+
+    def gstore_dma(slot, c):
+        return pltpu.make_async_copy(grad_vmem.at[slot],
+                                     ggeom_hbm.at[row0 + c], sem_ww.at[slot])
+
+    def astore_dma(slot, c):
+        return pltpu.make_async_copy(gattr_vmem.at[slot],
+                                     gattr_hbm.at[row0 + c], sem_xw.at[slot])
+
+    def chunk_terms(c, T, data):
         """Recompute the forward quantities for chunk c.
 
         Returns (alpha, ok, dx, dy, T_at, w, d, cum_last) — all [tt, C]
@@ -78,7 +95,6 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
         """
         row = row0 + c
         slot0 = row * C
-        data = data_vmem[...]
         mean_x = data[0:1, :]
         mean_y = data[1:2, :]
         con_a = data[2:3, :]
@@ -110,17 +126,28 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
 
         # d_k(px) = a_k . g_img(px) + g_w[k]
         d = jax.lax.dot_general(
-            g_img, data_vmem[GEOM_FIELDS:, :],
+            g_img, data[GEOM_FIELDS:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST) + g_w  # [tt, C]
         return alpha, ok, dx, dy, raw, T_at, w, d, cum[:, C - 1:C]
 
     # ---- phase A: S_tot(px) = sum over all entries of w * d --------------
+    @pl.when(n_chunks > 0)
+    def _():
+        data_dma(0, 0).start()
+
     def body_a(state):
         c, T, s_tot = state
-        load_chunk(c)
-        _, _, _, _, _, _, w, d, cum_last = chunk_terms(c, T)
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            data_dma(1 - slot, c + 1).start()
+
+        data_dma(slot, c).wait()
+        data = data_vmem[slot]
+        _, _, _, _, _, _, w, d, cum_last = chunk_terms(c, T, data)
         s_tot = s_tot + jnp.sum(w * d, axis=1, keepdims=True)
         return c + 1, T * cum_last, s_tot
 
@@ -128,24 +155,34 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
         c, T, _ = state
         return (c < n_chunks) & (jnp.max(T) >= 1e-4)
 
-    _, _, s_tot = jax.lax.while_loop(
+    c_a, _, s_tot = jax.lax.while_loop(
         cond_a, body_a,
         (jnp.int32(0), jnp.ones((tt, 1), jnp.float32),
          jnp.zeros((tt, 1), jnp.float32)))
 
+    # drain the prefetch left in flight by an early T-exit
+    @pl.when(c_a < n_chunks)
+    def _():
+        data_dma(jax.lax.rem(c_a, 2), c_a).wait()
+
     # ---- phase B: per-entry gradients ------------------------------------
+    @pl.when(n_chunks > 0)
+    def _():
+        data_dma(0, 0).start()
+        gload_dma(0, 0).start()
+        aload_dma(0, 0).start()
+
     def body_b(state):
         c, T, prefix = state
-        row = row0 + c
-        load_chunk(c)
-        # prefetch the RMW gradient rows while recomputing
-        cp_wg = pltpu.make_async_copy(ggeom_hbm.at[row], grad_vmem, sem_w)
-        cp_wa = pltpu.make_async_copy(gattr_hbm.at[row], gattr_vmem, sem_x)
-        cp_wg.start()
-        cp_wa.start()
+        slot = jax.lax.rem(c, 2)
 
-        alpha, ok, dx, dy, raw, T_at, w, d, cum_last = chunk_terms(c, T)
-        data = data_vmem[...]
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            data_dma(1 - slot, c + 1).start()
+
+        data_dma(slot, c).wait()
+        data = data_vmem[slot]
+        alpha, ok, dx, dy, raw, T_at, w, d, cum_last = chunk_terms(c, T, data)
 
         wd = w * d
         # inclusive prefix sum of wd over lanes (Hillis-Steele add scan)
@@ -194,16 +231,25 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
         grad_rows = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, zeros1, zeros1], axis=0)
 
-        cp_wg.wait()
-        cp_wa.wait()
-        grad_vmem[...] += grad_rows
-        gattr_vmem[...] += g_attr
-        out_g = pltpu.make_async_copy(grad_vmem, ggeom_hbm.at[row], sem_w)
-        out_a = pltpu.make_async_copy(gattr_vmem, gattr_hbm.at[row], sem_x)
-        out_g.start()
-        out_a.start()
-        out_g.wait()
-        out_a.wait()
+        gload_dma(slot, c).wait()
+        aload_dma(slot, c).wait()
+        grad_vmem[slot] += grad_rows
+        gattr_vmem[slot] += g_attr
+        gstore_dma(slot, c).start()
+        astore_dma(slot, c).start()
+
+        # Prefetch the next RMW rows into the other slot; its previous
+        # store (chunk c-1) must have drained first so the load doesn't
+        # overwrite an in-flight source buffer.
+        @pl.when(c >= 1)
+        def _():
+            gstore_dma(1 - slot, c - 1).wait()
+            astore_dma(1 - slot, c - 1).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            gload_dma(1 - slot, c + 1).start()
+            aload_dma(1 - slot, c + 1).start()
 
         return c + 1, T * cum_last, prefix + pre[:, C - 1:C]
 
@@ -211,10 +257,26 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
         c, T, _ = state
         return (c < n_chunks) & (jnp.max(T) >= 1e-4)
 
-    jax.lax.while_loop(
+    c_b, _, _ = jax.lax.while_loop(
         cond_b, body_b,
         (jnp.int32(0), jnp.ones((tt, 1), jnp.float32),
          jnp.zeros((tt, 1), jnp.float32)))
+
+    # Drain everything still in flight (early T-exit leaves the c_b-th
+    # loads and the (c_b-1)-th stores outstanding; the stores MUST complete
+    # before the next grid step may RMW the same boundary rows).
+    @pl.when(c_b < n_chunks)
+    def _():
+        sl = jax.lax.rem(c_b, 2)
+        data_dma(sl, c_b).wait()
+        gload_dma(sl, c_b).wait()
+        aload_dma(sl, c_b).wait()
+
+    @pl.when(c_b >= 1)
+    def _():
+        sl = jax.lax.rem(c_b - 1, 2)
+        gstore_dma(sl, c_b - 1).wait()
+        astore_dma(sl, c_b - 1).wait()
 
 
 def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
@@ -267,12 +329,14 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GEOM_FIELDS + A_pad, C), jnp.float32),
-            pltpu.VMEM((GRAD_FIELDS, C), jnp.float32),
-            pltpu.VMEM((A_pad, C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, GEOM_FIELDS + A_pad, C), jnp.float32),
+            pltpu.VMEM((2, GRAD_FIELDS, C), jnp.float32),
+            pltpu.VMEM((2, A_pad, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     ggeom, gattr = pl.pallas_call(

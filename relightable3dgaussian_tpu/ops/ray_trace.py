@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.quaternions import quaternion_to_rotmat
 from .knn import morton_codes
@@ -181,14 +182,24 @@ def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
 
     cand_key [..., M] candidate ids (sentinel = invalid), counts [..., M]
     int32 per-candidate ray-hit counts. Returns (sel_ids [..., k],
-    valid [..., k], sel_mask [..., M])."""
+    valid [..., k], sel_mask [..., M]).
+
+    Selection sorts (count, position) packed keys instead of lax.top_k —
+    top_k's O(M*k) compare chain is the dominant cost at M~1k, k~100,
+    while one lax.sort along the candidate axis is cheap."""
+    m = cand_key.shape[-1]
     score = jnp.where((cand_key < sentinel) & (counts > 0), counts, -1)
-    top_vals, top_idx = jax.lax.top_k(score, k)
-    valid = top_vals > 0
+    packed = score * m + jax.lax.broadcasted_iota(
+        jnp.int32, score.shape, score.ndim - 1)      # unique per candidate
+    top = jax.lax.sort(packed, dimension=-1)[..., m - k:][..., ::-1]
+    valid = top >= 0                        # score > -1 ⇔ packed >= 0
+    top_idx = jnp.where(valid, top - (top // m) * m, 0)
     sel_ids = jnp.where(
         valid, jnp.take_along_axis(cand_key, top_idx, axis=-1), sentinel)
-    sel_mask = jnp.put_along_axis(
-        jnp.zeros(score.shape, bool), top_idx, valid, axis=-1, inplace=False)
+    # selected ⇔ packed >= k-th largest (clamped so a short valid set
+    # selects exactly the valid candidates); packed keys are unique
+    thr = jnp.maximum(top[..., k - 1:k], 0)
+    sel_mask = packed >= thr
     return sel_ids, valid, sel_mask
 
 
@@ -317,10 +328,10 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
 
 
 def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
-                     rays_d: jnp.ndarray, max_clusters: int = 64,
-                     ray_chunk: int = 1024, max_supers: int = 16,
+                     rays_d: jnp.ndarray, max_clusters: int = 96,
+                     ray_chunk: int = 128, max_supers: int = 32,
                      host_batch: int = 1 << 20, sort_rays: bool = True,
-                     dir_res: int = 8, rays_per_chunk: int = 32768):
+                     dir_res: int = 16, rays_per_chunk: int = 8192):
     """Visibility for flat ray arrays [R, 3] (origin offset like the
     reference, bvh/__init__.py:62-71: o += 0.05 d). Returns dict with
     "visibility" [R, 1], "contribute" [R, 1], "overflow" [R].
@@ -378,4 +389,54 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
     vis = jnp.where(T >= 0.9, T, 0.0)
     return {"visibility": vis[:, None],
             "contribute": count[:, None],
+            "overflow": overflow}
+
+
+def trace_visibility_adaptive(bvh: GaussianBVH, rays_o: jnp.ndarray,
+                              rays_d: jnp.ndarray, max_clusters: int = 96,
+                              ray_chunk: int = 128, max_supers: int = 32,
+                              max_rounds: int = 3, cap_limit: int = 1024,
+                              escalation: int = 4, **kw):
+    """`trace_visibility` + uncertainty-driven cap escalation.
+
+    Dropping candidate clusters can only BRIGHTEN transmittance, and
+    vis = [T >= 0.9] T, so a ray's result can only be wrong when its
+    computed T >= 0.9 AND it overflowed the candidate caps. Those rays —
+    usually a small minority — are retraced with doubled caps until none
+    remain (or `cap_limit`/`max_rounds` is reached; any residual
+    uncertainty stays visible in the returned overflow). This recovers the
+    CUDA LBVH's per-ray exactness (bvh/src/trace.cu:196-287) without
+    per-ray traversal: the base pass is dense and block-coherent, the
+    escalations touch geometrically fewer rays each round.
+
+    Concrete (non-tracer) rays only — under jit use `trace_visibility`.
+    """
+    out = trace_visibility(bvh, rays_o, rays_d, max_clusters, ray_chunk,
+                           max_supers, **kw)
+    vis = out["visibility"][:, 0]
+    count = out["contribute"][:, 0]
+    overflow = out["overflow"]
+    n_clusters = bvh.cluster_lo.shape[0]
+    kc, ks = max_clusters, max_supers
+    for _ in range(max_rounds):
+        if kc >= min(cap_limit, n_clusters):
+            break
+        uncertain = np.asarray((vis > 0.0) & (overflow > 0))
+        n_unc = int(uncertain.sum())
+        if n_unc == 0:
+            break
+        kc = min(escalation * kc, cap_limit, n_clusters)
+        ks = min(escalation * ks, bvh.super_lo.shape[0])
+        idx = jnp.asarray(np.nonzero(uncertain)[0])
+        # pad the retrace set to a power of two so escalation rounds reuse
+        # compiled programs across calls
+        n_pad = max(256, 1 << (n_unc - 1).bit_length())
+        idx_p = jnp.concatenate(
+            [idx, jnp.zeros((n_pad - n_unc,), idx.dtype)])
+        sub = trace_visibility(bvh, rays_o[idx_p], rays_d[idx_p], kc,
+                               ray_chunk, ks, **kw)
+        vis = vis.at[idx].set(sub["visibility"][:n_unc, 0])
+        count = count.at[idx].set(sub["contribute"][:n_unc, 0])
+        overflow = overflow.at[idx].set(sub["overflow"][:n_unc])
+    return {"visibility": vis[:, None], "contribute": count[:, None],
             "overflow": overflow}
