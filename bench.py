@@ -186,26 +186,59 @@ def main():
 
     # Secondary: ray-traced visibility at the reference's training scale
     # (P=100k, S=64 → 6.4M rays; runs once per stage-2 job,
-    # gaussian_model.py:312-342). Also probe S=384 ray batches (relighting
-    # eval scale) via a smaller point slice for a per-ray rate.
+    # gaussian_model.py:312-342) on a scene with REAL occlusion: a noisy
+    # closed shell with inward normals, so hemisphere rays cross the
+    # interior and hit the far wall — near the tracer's worst case (every
+    # ray occluded, candidate unions maximal). Also an S=384 trace
+    # (relighting eval scale, readme.md:141-144).
     try:
-        from relightable3dgaussian_tpu.models.render_neilf import \
-            update_visibility
-        s_trace = 64
-        t0 = time.time()
-        vis_cache = update_visibility(params, aux.active, s_trace)
-        jax.block_until_ready(vis_cache.visibility)
-        dt = time.time() - t0
-        rays = n * s_trace
-        log(f"trace compile+run (P={n}, S={s_trace}, {rays / 1e6:.1f}M rays): "
-            f"{dt:.1f}s")
-        t0 = time.time()
-        vis_cache = update_visibility(params, aux.active, s_trace)
-        jax.block_until_ready(vis_cache.visibility)
-        dt = time.time() - t0
-        log(f"trace steady (P={n}, S={s_trace}): {dt:.2f}s = "
-            f"{rays / dt / 1e6:.1f}M rays/s; "
-            f"mean_vis={float(vis_cache.visibility.mean()):.3f}")
+        import jax.numpy as jnp
+        from relightable3dgaussian_tpu.ops.ray_trace import (
+            build_bvh, trace_visibility, trace_visibility_adaptive)
+        from relightable3dgaussian_tpu.utils.graphics import \
+            fibonacci_sphere_sampling
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        dsh = jax.random.normal(ks[0], (n, 3))
+        dsh = dsh / jnp.linalg.norm(dsh, axis=-1, keepdims=True)
+        xyz_s = dsh * (1.0 + 0.02 * jax.random.normal(ks[1], (n,))[:, None])
+        nrm_s = -dsh
+        scl_s = jnp.stack([jnp.full((n,), 0.02), jnp.full((n,), 0.02),
+                           jnp.full((n,), 0.004)], -1)
+        rot_s = jax.random.normal(ks[2], (n, 4))
+        rot_s = rot_s / jnp.linalg.norm(rot_s, axis=-1, keepdims=True)
+        op_s = jax.random.uniform(ks[3], (n,), minval=0.3, maxval=0.95)
+        bvh = build_bvh(xyz_s, scl_s, rot_s, op_s, nrm_s)
+        jax.block_until_ready(bvh.feat)
+
+        for s_trace, label in ((64, "train-scale"), (384, "eval-scale")):
+            dirs, _ = fibonacci_sphere_sampling(nrm_s, s_trace, key=None)
+            ro = jnp.broadcast_to(xyz_s[:, None],
+                                  (n, s_trace, 3)).reshape(-1, 3)
+            rd = dirs.reshape(-1, 3)
+            rays = ro.shape[0]
+            t0 = time.time()
+            out = trace_visibility(bvh, ro, rd)
+            mv = float(out["visibility"].mean())
+            log(f"trace {label} compile+run (P={n}, S={s_trace}, "
+                f"{rays / 1e6:.1f}M rays): {time.time() - t0:.1f}s")
+            t0 = time.time()
+            out = trace_visibility(bvh, ro, rd)
+            mv = float(out["visibility"].mean())
+            dt = time.time() - t0
+            ovf = float((out["overflow"] > 0).mean())
+            log(f"trace {label} steady (P={n}, S={s_trace}): {dt:.2f}s = "
+                f"{rays / dt / 1e6:.1f}M rays/s; mean_vis={mv:.3f} "
+                f"overflow_rays={ovf * 100:.0f}%")
+            if s_trace == 64:
+                t0 = time.time()
+                out = trace_visibility_adaptive(bvh, ro, rd)
+                mva = float(out["visibility"].mean())
+                dt = time.time() - t0
+                una = float(((out["visibility"][:, 0] > 0)
+                             & (out["overflow"] > 0)).mean())
+                log(f"trace adaptive-exact (P={n}, S={s_trace}): {dt:.2f}s "
+                    f"= {rays / dt / 1e6:.1f}M rays/s; mean_vis={mva:.4f} "
+                    f"uncertain_left={una * 100:.2f}%")
     except Exception as e:
         log(f"trace bench failed: {type(e).__name__}: {e}")
 

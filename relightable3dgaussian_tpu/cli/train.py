@@ -130,12 +130,26 @@ def training(args) -> None:
     extent = scene.cameras_extent
 
     env = env_state = vis = None
+    n_devices_early = getattr(args, "n_devices", 1) or 1
     if is_pbr:
         params = G.add_pbr_params(params)
         opt_state = init_adam(params).replace(count=opt_state.count) \
             if opt_state.mu.base_color.shape[0] != params.capacity else opt_state
-        print(f"Tracing visibility ({pipe.sample_num} samples)...")
-        vis = update_visibility(params, aux.active, pipe.sample_num)
+        sharded_trace = None
+        if n_devices_early > 1:
+            # Spread the P*S visibility rays over the mesh (SURVEY §2.3
+            # item 2: the reference's chunk loop gaussian_model.py:322-336
+            # becomes a ray-sharded shard_map).
+            from ..parallel import make_mesh
+            from ..parallel.point_sharded import make_sharded_trace
+            mesh = make_mesh(jax.devices()[:n_devices_early])
+            sharded_trace = make_sharded_trace(mesh)
+            print(f"Tracing visibility ({pipe.sample_num} samples, "
+                  f"rays sharded over {n_devices_early} devices)...")
+        else:
+            print(f"Tracing visibility ({pipe.sample_num} samples)...")
+        vis = update_visibility(params, aux.active, pipe.sample_num,
+                                sharded_trace=sharded_trace)
         if vis.overflow_rays is not None:
             ov_rays = int(np.asarray(vis.overflow_rays))
             if ov_rays:

@@ -34,9 +34,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.quaternions import quaternion_to_rotmat
 from .knn import morton_codes
@@ -55,7 +59,8 @@ class GaussianBVH(NamedTuple):
     cluster_hi: jnp.ndarray     # [C, 3]
     super_lo: jnp.ndarray       # [S, 3] AABBs over groups of clusters
     super_hi: jnp.ndarray       # [S, 3]
-    feat: jnp.ndarray           # [C, cluster_size * FEAT_DIM] packed rows
+    feat: jnp.ndarray           # [C+1, FEAT_DIM, cluster_size] packed
+    #                             feature-major tiles; row C = zero sentinel
     cluster_size: int
     super_size: int             # clusters per supercluster
 
@@ -119,8 +124,12 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     super_lo = sc_lo.reshape(S, super_size, 3).min(axis=1)
     super_hi = sc_hi.reshape(S, super_size, 3).max(axis=1)
 
-    # Packed per-gaussian feature rows, one contiguous row per CLUSTER, so
-    # the per-block work-set gather reads dense cluster_size*FEAT_DIM rows.
+    # Packed per-gaussian features, one contiguous FEATURE-MAJOR block per
+    # CLUSTER ([C+1, FEAT_DIM, cluster_size]) so a work-set fetch reads a
+    # dense 2-D tile per cluster (the Pallas tracer DMAs feat[cid] straight
+    # into VMEM). Row C is an all-zero SENTINEL cluster: selection slots
+    # beyond a block's valid candidates point at it, and its opacity-0
+    # gaussians fail the op >= 1/255 test — no validity masks anywhere.
     xyz_s = xyz[order_p].astype(jnp.float32)
     cov_s = cov_inv[order_p].astype(jnp.float32)
     nrm_s = normal[order_p].astype(jnp.float32)
@@ -129,7 +138,9 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     feat = feat.at[:, 3:9].set(cov_s)
     feat = feat.at[:, 9].set(op_sorted.astype(jnp.float32))
     feat = feat.at[:, 10:13].set(nrm_s)
-    feat = feat.reshape(C, cluster_size * FEAT_DIM)
+    feat = feat.reshape(C, cluster_size, FEAT_DIM).transpose(0, 2, 1)
+    feat = jnp.concatenate(
+        [feat, jnp.zeros((1, FEAT_DIM, cluster_size), jnp.float32)])
 
     return GaussianBVH(
         order=order_p,
@@ -203,20 +214,18 @@ def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
     return sel_ids, valid, sel_mask
 
 
-def _trace_chunk(bvh: GaussianBVH, o, d, inv_d, max_clusters: int,
-                 max_supers: int):
-    """Trace a chunk of ray blocks. o/d/inv_d: [G, B, 3] (sorted, coherent
-    blocks). Returns (T, count, overflow) each [G, B].
+def _cull_chunk(bvh: GaussianBVH, o, inv_d, k2: int, max_supers: int):
+    """Cull a chunk of ray blocks. o/inv_d: [G, B, 3] (sorted, coherent
+    blocks). Returns (sel_clu [G, k2] cluster ids with sentinel
+    n_clusters = the zero cluster, overflow [G, B]).
 
     Per block: two-level AABB culling with block-union candidate selection
-    (replaces the CUDA LBVH's per-ray DFS, bvh/src/trace.cu:196-287), then a
-    dense [B, K*cluster_size] pairwise transmittance tile whose gaussian rows
-    were gathered contiguously — no per-ray gathers anywhere."""
+    by ray-hit count (replaces the CUDA LBVH's per-ray DFS,
+    bvh/src/trace.cu:196-287) — every step a dense vectorized op."""
     G_, B = o.shape[:2]
     n_super = bvh.super_lo.shape[0]
     n_clusters = bvh.cluster_lo.shape[0]
     ssz = bvh.super_size
-    cs = bvh.cluster_size
     K1 = min(max_supers, n_super)
 
     # --- Level 1: supercluster slabs per ray, block-level selection.
@@ -242,32 +251,39 @@ def _trace_chunk(bvh: GaussianBVH, o, d, inv_d, max_clusters: int,
                        o[:, :, None], inv_d[:, :, None])        # [G, B, M]
     c_hit = c_hit & cand_ok[:, None, :]
     c_cnt = c_hit.sum(1)                                        # [G, M]
-    K2 = min(max_clusters, child.shape[1], n_clusters)
-    sel_clu, clu_valid, clu_mask = _topk_by_count(
-        child, c_cnt, K2, n_clusters)
+    sel_clu, _, clu_mask = _topk_by_count(child, c_cnt, k2, n_clusters)
     c_over = (c_hit & ~clu_mask[:, None, :]).sum(-1)            # [G, B]
-    overflow = c_over + s_over
+    return sel_clu, c_over + s_over
 
-    # --- Gather the work set: dense contiguous cluster rows, once per block.
-    work = bvh.feat[jnp.minimum(sel_clu, n_clusters - 1)]       # [G,K2,cs*F]
-    work = work.reshape(G_, K2 * cs, FEAT_DIM)
-    gx, gy, gz = work[..., 0], work[..., 1], work[..., 2]
-    cxx, cxy, cxz = work[..., 3], work[..., 4], work[..., 5]
-    cyy, cyz, czz = work[..., 6], work[..., 7], work[..., 8]
-    op = work[..., 9]
-    nx, ny, nz = work[..., 10], work[..., 11], work[..., 12]
-    gvalid = jnp.repeat(clu_valid, cs, axis=1)                  # [G, N]
 
-    # --- Dense pairwise per-gaussian test (trace.cu:232-254), [G, B, N].
+def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_clu):
+    """Dense pairwise per-gaussian test (trace.cu:232-254) for a chunk of
+    blocks: o/d [G, B, 3], sel_clu [G, K2]. Returns (log_T, count) [G, B].
+
+    The reference path (and CPU path): the selected clusters' gaussians are
+    gathered ONCE per block as dense contiguous tiles — amortized over the
+    whole block, no per-ray gathers — then every (ray, gaussian) pair is
+    fused elementwise work. On TPU the same math runs in the Pallas kernel
+    `_trace_eval_kernel` (early exit + on-demand cluster DMA)."""
+    G_, B = o.shape[:2]
+    cs = bvh.cluster_size
+    K2 = sel_clu.shape[1]
+    work = bvh.feat[sel_clu]                           # [G, K2, F, cs]
+    w = work.transpose(0, 2, 1, 3).reshape(G_, FEAT_DIM, K2 * cs)
+    gx, gy, gz = w[:, 0], w[:, 1], w[:, 2]             # [G, N]
+    cxx, cxy, cxz = w[:, 3], w[:, 4], w[:, 5]
+    cyy, cyz, czz = w[:, 6], w[:, 7], w[:, 8]
+    op = w[:, 9]
+    nx, ny, nz = w[:, 10], w[:, 11], w[:, 12]
+
     # Unrolled over xyz so every temporary is [G, B, N]; the residual vector
     # (mu - t d) is formed BEFORE its quadratic so `power` never suffers the
     # (|mu|/scale)^2 cancellation a factored expansion would.
     ox, oy, oz = o[..., 0:1], o[..., 1:2], o[..., 2:3]          # [G, B, 1]
     dx, dy, dz = d[..., 0:1], d[..., 1:2], d[..., 2:3]
-    g1 = gx[:, None, :]
-    g2 = gy[:, None, :]
-    g3 = gz[:, None, :]
-    mux, muy, muz = g1 - ox, g2 - oy, g3 - oz                   # [G, B, N]
+    mux = gx[:, None, :] - ox
+    muy = gy[:, None, :] - oy
+    muz = gz[:, None, :] - oz                                   # [G, B, N]
     C1, C2, C3 = cxx[:, None, :], cxy[:, None, :], cxz[:, None, :]
     C4, C5, C6 = cyy[:, None, :], cyz[:, None, :], czz[:, None, :]
     qdx = C1 * dx + C2 * dy + C3 * dz                           # (Σ⁻¹ d)_x
@@ -283,21 +299,125 @@ def _trace_chunk(bvh: GaussianBVH, o, d, inv_d, max_clusters: int,
                     + py * (C2 * px + C4 * py + C5 * pz)
                     + pz * (C3 * px + C5 * py + C6 * pz))
     ndotd = nx[:, None, :] * dx + ny[:, None, :] * dy + nz[:, None, :] * dz
-    ok = (gvalid[:, None, :]
-          & (op[:, None, :] >= 1.0 / 255.0)
+    ok = ((op[:, None, :] >= 1.0 / 255.0)
           & (ndotd <= 0.0)
           & (t >= 0.01)
           & (power <= 0.0))
     alpha = jnp.where(ok, op[:, None, :] * jnp.exp(power), 0.0)
     log_T = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(-1)      # [G, B]
     count = ok.sum(-1)
-    T = jnp.exp(log_T)
-    return T, count, overflow
+    return log_T, count
+
+
+_LOG_DEAD = float(np.log(0.9))   # all-rays-dead early-exit threshold
+_KCH = 16                        # clusters fetched per kernel grid step
+
+
+def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
+                       *, k2: int, cs: int):
+    """Pallas pairwise evaluation: grid (block, cluster-chunk).
+
+    Per step: DMA `_KCH` selected clusters' feature tiles from HBM on
+    demand (sentinel slots fetch the zero cluster), evaluate the
+    [B, _KCH*cs] pairwise tile entirely in VMEM, and accumulate per-ray
+    log-transmittance + contributor count into the revisited output block.
+    Once EVERY ray in the block has T < 0.9 (visibility 0 regardless of
+    deeper geometry — the product only decreases), remaining chunks skip
+    both the fetch and the compute: the same early-termination the CUDA
+    per-ray DFS gets from its T < 0.9 break (trace.cu:232-254), block-wide."""
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    alive = jnp.max(out_ref[0, :, 0]) >= _LOG_DEAD
+
+    @pl.when((g == 0) | alive)
+    def _():
+        def dma(k):
+            cid = sel_ref[i * k2 + g * _KCH + k]
+            return pltpu.make_async_copy(
+                feat_hbm.at[cid], gau_vmem.at[:, pl.ds(k * cs, cs)],
+                sem.at[k])
+
+        for k in range(_KCH):
+            dma(k).start()
+        for k in range(_KCH):
+            dma(k).wait()
+
+        rays = rays_ref[0]                       # [B, 8]
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        w = gau_vmem[...]                        # [F, _KCH*cs]
+        gx, gy, gz = w[0:1], w[1:2], w[2:3]      # [1, N]
+        C1, C2, C3 = w[3:4], w[4:5], w[5:6]
+        C4, C5, C6 = w[6:7], w[7:8], w[8:9]
+        op = w[9:10]
+        nx, ny, nz = w[10:11], w[11:12], w[12:13]
+
+        mux, muy, muz = gx - ox, gy - oy, gz - oz          # [B, N]
+        qdx = C1 * dx + C2 * dy + C3 * dz
+        qdy = C2 * dx + C4 * dy + C5 * dz
+        qdz = C3 * dx + C5 * dy + C6 * dz
+        t_num = mux * qdx + muy * qdy + muz * qdz
+        t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz, 1e-12)
+        t = t_num / t_den
+        px = mux - t * dx
+        py = muy - t * dy
+        pz = muz - t * dz
+        power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
+                        + py * (C2 * px + C4 * py + C5 * pz)
+                        + pz * (C3 * px + C5 * py + C6 * pz))
+        ndotd = nx * dx + ny * dy + nz * dz
+        ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
+              & (t >= 0.01) & (power <= 0.0))
+        alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
+        log_T = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
+            axis=1, keepdims=True)                          # [B, 1]
+        cnt = ok.sum(axis=1, keepdims=True).astype(jnp.float32)
+        out_ref[0, :, 0:1] += log_T
+        out_ref[0, :, 1:2] += cnt
+
+
+def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
+                        interpret: bool = False):
+    """Run `_trace_eval_kernel` over all blocks. rays [nb*B, 3] sorted,
+    sel [nb, K2]. Returns (log_T, count) as [nb*B] arrays."""
+    nb, K2 = sel.shape
+    cs = bvh.cluster_size
+    rays = jnp.concatenate(
+        [rays_o, rays_d, jnp.zeros((rays_o.shape[0], 2), jnp.float32)],
+        axis=-1).reshape(nb, B, 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, K2 // _KCH),
+        in_specs=[
+            pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((FEAT_DIM, _KCH * cs), jnp.float32),
+            pltpu.SemaphoreType.DMA((_KCH,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_trace_eval_kernel, k2=K2, cs=cs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
+        interpret=interpret,
+    )(sel.reshape(-1), rays, bvh.feat)
+    return out[..., 0].reshape(-1), out[..., 1].reshape(-1).astype(jnp.int32)
 
 
 def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
                   block_rays: int, max_supers: int,
-                  rays_per_chunk: int = 8192):
+                  rays_per_chunk: int = 8192, use_pallas: bool | None = None,
+                  interpret: bool = False):
     """Trace rays already padded to a multiple of block_rays, in sorted
     (coherent-block) order. Returns (T, count, overflow) flat arrays."""
     Rp = rays_o.shape[0]
@@ -318,13 +438,38 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
     DB = rays_d.reshape(n_chunks, G_, block_rays, 3)
     IB = inv_d.reshape(n_chunks, G_, block_rays, 3)
 
-    def body(_, odi):
-        o, d, i = odi
-        return None, _trace_chunk(bvh, o, d, i, max_clusters, max_supers)
+    n_clusters = bvh.cluster_lo.shape[0]
+    M = min(max_supers, bvh.super_lo.shape[0]) * bvh.super_size
+    K2 = min(max_clusters, M, n_clusters)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = (use_pallas and block_rays % 8 == 0
+                  and -(-K2 // _KCH) * _KCH <= M)
+    if use_pallas:
+        K2 = -(-K2 // _KCH) * _KCH       # kernel fetches _KCH per step
 
-    _, (T, count, overflow) = jax.lax.scan(body, None, (OB, DB, IB))
+    def cull_body(_, oi):
+        o, i = oi
+        return None, _cull_chunk(bvh, o, i, K2, max_supers)
+
+    _, (sel, overflow) = jax.lax.scan(cull_body, None, (OB, IB))
+    sel = sel.reshape(n_blocks, K2)
+
+    if use_pallas:
+        log_T, count = _eval_blocks_pallas(
+            bvh, rays_o, rays_d, sel, block_rays, interpret=interpret)
+    else:
+        SB = sel.reshape(n_chunks, G_, K2)
+
+        def eval_body(_, ods):
+            o, d, s = ods
+            return None, _eval_blocks_jnp(bvh, o, d, s)
+
+        _, (log_T, count) = jax.lax.scan(eval_body, None, (OB, DB, SB))
+
     flat = lambda a: a.reshape(-1)[:Rp]
-    return flat(T), flat(count), flat(overflow)
+    return flat(jnp.exp(log_T.reshape(-1))), flat(count.reshape(-1)), \
+        flat(overflow.reshape(-1))
 
 
 def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,

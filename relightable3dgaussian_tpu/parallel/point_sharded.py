@@ -55,8 +55,8 @@ def make_sharded_shading(mesh: Mesh):
     return jax.jit(sharded)
 
 
-def make_sharded_trace(mesh: Mesh, max_clusters: int = 64,
-                       ray_chunk: int = 4096):
+def make_sharded_trace(mesh: Mesh, max_clusters: int = 96,
+                       ray_chunk: int = 128):
     """Ray-sharded visibility tracing.
 
     Returns fn(bvh, rays_o, rays_d) -> visibility [R, 1] with the ray axis

@@ -19,6 +19,7 @@ persistent compile cache warm across iterations and runs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import numpy as np
@@ -27,6 +28,22 @@ from ..models import gaussians as G
 from ..ops.config import RasterConfig
 from ..ops.projection import preprocess
 from ..ops.tiles import auto_tier_plan, bin_gaussians
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _probe_touched(params, active, opacity, cam, c):
+    return preprocess(params.xyz, G.get_scaling(params),
+                      G.get_rotation(params), G.get_shs(params), None,
+                      cam, c, active, opacity=opacity).tiles_touched
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _probe_pairs(params, active, opacity, cam, c):
+    prep = preprocess(params.xyz, G.get_scaling(params),
+                      G.get_rotation(params), G.get_shs(params), None,
+                      cam, c, active, opacity=opacity)
+    b = bin_gaussians(prep, c, opacity)
+    return b.num_rendered, b.overflow_pairs
 
 
 def plan_raster_config(cfg: RasterConfig, params, active, views, *,
@@ -42,22 +59,22 @@ def plan_raster_config(cfg: RasterConfig, params, active, views, *,
     probes = views[:: max(1, len(views) // max_probe_views)][:max_probe_views]
     opacity = G.get_opacity(params)[:, 0]
 
-    def probe_prep(v, c):
-        return preprocess(params.xyz, G.get_scaling(params),
-                          G.get_rotation(params), G.get_shs(params), None,
-                          v.cam, c, active, opacity=opacity)
-
+    # One jitted program per cfg, shared by all probe views and re-plans
+    # (eager probing would remote-compile every tiny op through the TPU
+    # tunnel; arrays are passed as arguments, not closure constants, so the
+    # persistent compile cache hits across re-plans).
     touched = np.concatenate(
-        [np.asarray(probe_prep(v, cfg).tiles_touched) for v in probes])
+        [np.asarray(_probe_touched(params, active, opacity, v.cam, cfg))
+         for v in probes])
     plan = auto_tier_plan(touched, cfg.max_tiles_per_gaussian)
     new_cfg = dataclasses.replace(cfg, tier_plan=plan)
 
     pairs = 0
     overflow = 0
     for v in probes:
-        b = bin_gaussians(probe_prep(v, new_cfg), new_cfg, opacity)
-        pairs = max(pairs, int(b.num_rendered))
-        overflow = max(overflow, int(b.overflow_pairs))
+        n, ov = _probe_pairs(params, active, opacity, v.cam, new_cfg)
+        pairs = max(pairs, int(n))
+        overflow = max(overflow, int(ov))
     if not keep_buffer:
         P = params.capacity
         # headroom + snap to even multiples so repeated plans hit the

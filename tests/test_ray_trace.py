@@ -237,6 +237,35 @@ class TestTraceMidScale:
         np.testing.assert_allclose(vis, oracle, atol=2e-3)
 
 
+def test_pallas_eval_kernel_matches_jnp():
+    """The Pallas pairwise tracer (interpret mode) must reproduce the jnp
+    evaluation's visibility; T/count may differ only for dead blocks (the
+    kernel early-exits once every ray's T < 0.9, like trace.cu:232-254)."""
+    from relightable3dgaussian_tpu.ops.ray_trace import _trace_sorted
+
+    xyz, scaling, rot, op, nrm = _shell_scene(jax.random.PRNGKey(11), 2048)
+    bvh = build_bvh(xyz, scaling, rot, op, nrm)
+    from relightable3dgaussian_tpu.utils.graphics import \
+        fibonacci_sphere_sampling
+    dirs, _ = fibonacci_sphere_sampling(nrm[:128], 8, key=None)
+    rays_o = (jnp.broadcast_to(xyz[:128, None], (128, 8, 3)).reshape(-1, 3)
+              + 0.05 * dirs.reshape(-1, 3))
+    rays_d = dirs.reshape(-1, 3)
+
+    T_j, cnt_j, ov_j = _trace_sorted(bvh, rays_o, rays_d, 32, 128, 8,
+                                     use_pallas=False)
+    T_p, cnt_p, ov_p = _trace_sorted(bvh, rays_o, rays_d, 32, 128, 8,
+                                     use_pallas=True, interpret=True)
+    vis_j = np.where(np.asarray(T_j) >= 0.9, np.asarray(T_j), 0.0)
+    vis_p = np.where(np.asarray(T_p) >= 0.9, np.asarray(T_p), 0.0)
+    np.testing.assert_allclose(vis_p, vis_j, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ov_p), np.asarray(ov_j))
+    live = vis_j > 0
+    np.testing.assert_array_equal(np.asarray(cnt_p)[live],
+                                  np.asarray(cnt_j)[live])
+    assert live.any() and (~live).any()
+
+
 def test_host_batched_trace_matches_single_dispatch():
     """The host-loop path (large R) must equal the one-dispatch scan path."""
     import jax
