@@ -77,7 +77,9 @@ def render_set(out_dir, name, cams, render_one, gt_of):
                 np.moveaxis(np.asarray(res["normal"]) * 0.5 + 0.5, 0, -1))
     metrics = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
     if lpipss:
-        metrics["lpips"] = float(np.mean(lpipss))
+        from ..losses.lpips import is_random_backbone
+        lp = "lpips(random-vgg)" if is_random_backbone() else "lpips"
+        metrics[lp] = float(np.mean(lpipss))
     with open(os.path.join(out_dir, f"metric_{name}.txt"), "w") as f:
         for k, v in metrics.items():
             f.write(f"{k}: {v}\n")
@@ -92,6 +94,8 @@ def main(argv=None):
     parser.add_argument("-c", "--checkpoint", default=None)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="shard visibility-trace rays over N devices")
     args = get_combined_args(parser, argv)
     model_cfg = extract(ModelConfig, args)
     pipe = extract(PipelineConfig, args)
@@ -111,7 +115,9 @@ def main(argv=None):
     env = vis = None
     if is_pbr:
         from ..models.lights import init_direct_light
-        vis = update_visibility(params, active, pipe.sample_num)
+        from . import sharded_trace_from_args
+        vis = update_visibility(params, active, pipe.sample_num,
+                                sharded_trace=sharded_trace_from_args(args))
         env_path = (os.path.join(os.path.dirname(args.checkpoint),
                                  "env_light_" +
                                  os.path.basename(args.checkpoint))

@@ -53,6 +53,8 @@ def main(argv=None):
     parser.add_argument("-c", "--checkpoint", default=None)
     parser.add_argument("-e", "--envmap_dir", default=".")
     parser.add_argument("-bg", "--background_color", type=float, default=1.0)
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="shard visibility-trace rays over N devices")
     args = get_combined_args(parser, argv)
     model_cfg = extract(ModelConfig, args)
     pipe = extract(PipelineConfig, args)
@@ -60,7 +62,9 @@ def main(argv=None):
     params, active, it = load_model(args, model_cfg, is_pbr=True)
     print(f"Loaded model at iteration {it}")
     print(f"Tracing visibility ({pipe.sample_num} samples)...")
-    vis = update_visibility(params, active, pipe.sample_num)
+    from . import sharded_trace_from_args
+    vis = update_visibility(params, active, pipe.sample_num,
+                            sharded_trace=sharded_trace_from_args(args))
 
     scale = None
     for key, val in BASE_COLOR_SCALE.items():

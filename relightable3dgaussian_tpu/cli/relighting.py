@@ -90,6 +90,8 @@ def main(argv=None):
     parser.add_argument("-e", "--envmap_path", default=None)
     parser.add_argument("-bg", "--background_color", type=float, default=None)
     parser.add_argument("--sample_num", type=int, default=64)
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="shard visibility-trace rays over N devices")
     parser.add_argument("--video", action="store_true")
     parser.add_argument("--output", default="./capture_trace")
     parser.add_argument("--capture_list", default="pbr_env")
@@ -106,7 +108,9 @@ def main(argv=None):
 
     from ..models.render_neilf import update_visibility
     print(f"Tracing visibility ({args.sample_num} samples)...")
-    vis = update_visibility(params, active, args.sample_num)
+    from . import sharded_trace_from_args
+    vis = update_visibility(params, active, args.sample_num,
+                            sharded_trace=sharded_trace_from_args(args))
 
     capture_list = [s.strip() for s in args.capture_list.split(",")]
     for t in capture_list:

@@ -374,10 +374,12 @@ def training(args) -> None:
             max_cap=getattr(args, "max_capacity", 0) or 0,
             first_iter=first_iter, replan_fn=replan_fn)
     else:
+        ups = tuple(int(v) for v in
+                    getattr(args, "env_upsample_iters", "").split(",") if v)
         params, aux, opt_state, env, env_state = _run_stage2(
             params, aux, opt_state, env, env_state, vis, views, cfg, opt,
             spatial_lr_scale, extent, first_iter, state, callback,
-            n_devices=n_devices)
+            n_devices=n_devices, env_upsample_iters=ups)
 
     state.update(params=params, aux=aux, opt_state=opt_state, env=env,
                  env_state=env_state)
@@ -515,7 +517,7 @@ def _grow_opt_state(opt_state, params):
 
 def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
                 spatial_lr_scale, extent, first_iter, state, callback,
-                n_devices=1):
+                n_devices=1, env_upsample_iters=()):
     rng = np.random.default_rng(0)
     stack = []
     use_dp = n_devices > 1
@@ -530,6 +532,20 @@ def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
             (params, aux, opt_state, env, env_state, vis), mesh)
         next_batch = _make_batcher(views, rng, n_devices, mesh)
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if iteration in env_upsample_iters:
+            # Progressive env-map refinement (reference DirectLightMap
+            # upsampling, direct_light_map.py:85-101): params AND Adam
+            # moments are bilinearly upsampled.
+            from ..models.lights import upsample_direct_light
+            from ..train.optim import ArrayAdamState
+            from ..models.lights import _bilinear_resize_2x
+            env = upsample_direct_light(env)
+            env_state = ArrayAdamState(
+                mu=_bilinear_resize_2x(env_state.mu),
+                nu=_bilinear_resize_2x(env_state.nu),
+                count=env_state.count)
+            print(f"[ITER {iteration}] env map upsampled to "
+                  f"{env.env.shape[0]}x{env.env.shape[1]}")
         if use_dp:
             (params, aux, opt_state, env, env_state,
              metrics) = dp_step(params, aux, opt_state, env, env_state, vis,
@@ -554,7 +570,8 @@ def evaluate(scene, params, aux, env, vis, pipe, model_cfg, args) -> None:
     train.py:319-380): SH-render PSNR/SSIM(/LPIPS) over ALL test cameras,
     plus PBR metrics and BRDF map dumps when stage-2 components exist."""
     from ..losses import ssim as ssim_fn
-    from ..losses.lpips import available as lpips_available, lpips
+    from ..losses.lpips import (available as lpips_available,
+                                is_random_backbone, lpips)
     from ..scene.image_io import save_image_u8
     from ..utils.image import visualize_depth
 
@@ -611,14 +628,17 @@ def evaluate(scene, params, aux, env, vis, pipe, model_cfg, args) -> None:
                     save_image_u8(
                         os.path.join(out_dir, f"{i:03d}_{key}.png"), im)
 
+    # Random-backbone LPIPS (LPIPS_WEIGHTS=random) is labeled distinctly:
+    # self-consistent, but not comparable to trained-VGG LPIPS numbers.
+    lp = "lpips(random-vgg)" if is_random_backbone() else "lpips"
     lines = [f"psnr: {np.mean(m['psnr'])}", f"ssim: {np.mean(m['ssim'])}"]
     if m["lpips"]:
-        lines.append(f"lpips: {np.mean(m['lpips'])}")
+        lines.append(f"{lp}: {np.mean(m['lpips'])}")
     if m["psnr_pbr"]:
         lines += [f"psnr_pbr: {np.mean(m['psnr_pbr'])}",
                   f"ssim_pbr: {np.mean(m['ssim_pbr'])}"]
         if m["lpips_pbr"]:
-            lines.append(f"lpips_pbr: {np.mean(m['lpips_pbr'])}")
+            lines.append(f"{lp}_pbr: {np.mean(m['lpips_pbr'])}")
     print("[EVAL] " + "  ".join(lines) + f"  ({len(test_cams)} views)")
     with open(os.path.join(model_cfg.model_path, "metric_test.txt"),
               "w") as f:
@@ -652,6 +672,11 @@ def main(argv=None):
     parser.add_argument("--test_interval", type=int, default=2500)
     parser.add_argument("--report_max_views", type=int, default=0,
                         help="cap periodic test-PSNR views (0 = all)")
+    parser.add_argument("--env_upsample_iters", default="",
+                        help="comma-separated stage-2 iterations at which "
+                             "to 2x-upsample the learnable env map "
+                             "(progressive refinement, "
+                             "direct_light_map.py:85-101)")
     parser.add_argument("--gui", action="store_true",
                         help="live dearpygui viewer embedded in the loop "
                              "(reference train.py:81-104)")

@@ -46,8 +46,41 @@ def _weight_path() -> str | None:
     return None
 
 
+def _random_weights(seed: int = 0) -> dict:
+    """Deterministic He-init VGG16 + uniform lin weights.
+
+    Escape hatch for weight-less environments (LPIPS_WEIGHTS=random):
+    LPIPS over a *random* VGG backbone is a known usable perceptual proxy
+    (random-feature perceptual losses track trained ones in rank order) and
+    is reproducible across runs, but its absolute values are NOT comparable
+    to trained-VGG LPIPS — evals print it as `lpips(random-vgg)`."""
+    rng = np.random.default_rng(seed)
+    w, c_in, idx = {}, 3, 0
+    stage_chs = []
+    for item in _VGG16_CFG:
+        if item == "M":
+            idx += 1
+            continue
+        fan = c_in * 9
+        w[f"features.{idx}.weight"] = rng.normal(
+            0, np.sqrt(2.0 / fan), (item, c_in, 3, 3)).astype(np.float32)
+        w[f"features.{idx}.bias"] = np.zeros((item,), np.float32)
+        stage_chs.append(item)
+        c_in = item
+        idx += 2
+    for i, end in enumerate(sorted(_STAGE_ENDS)):
+        ch = stage_chs[end]
+        w[f"lin{i}.model.1.weight"] = np.full(
+            (1, ch, 1, 1), 1.0 / ch, np.float32)
+    return w
+
+
 def _load_weights() -> dict | None:
     if "w" in _CACHE:
+        return _CACHE["w"]
+    if os.environ.get("LPIPS_WEIGHTS") == "random":
+        _CACHE["w"] = _random_weights()
+        _CACHE["random"] = True
         return _CACHE["w"]
     path = _weight_path()
     if path is None:
@@ -67,6 +100,14 @@ def _load_weights() -> dict | None:
 
 def available() -> bool:
     return _load_weights() is not None
+
+
+def is_random_backbone() -> bool:
+    """True when the LPIPS backbone is the seeded random escape hatch
+    (LPIPS_WEIGHTS=random) — numbers are self-consistent but not
+    comparable to trained-VGG LPIPS."""
+    _load_weights()
+    return bool(_CACHE.get("random"))
 
 
 def _conv(x, w, b):

@@ -46,6 +46,7 @@ from ..utils.quaternions import quaternion_to_rotmat
 from .knn import morton_codes
 
 FEAT_DIM = 16  # xyz 0:3 | packed inv-cov 3:9 | opacity 9 | normal 10:13 | pad
+QUAD = 4       # clusters per packed feature tile (fetch/selection group)
 
 
 class GaussianBVH(NamedTuple):
@@ -59,8 +60,9 @@ class GaussianBVH(NamedTuple):
     cluster_hi: jnp.ndarray     # [C, 3]
     super_lo: jnp.ndarray       # [S, 3] AABBs over groups of clusters
     super_hi: jnp.ndarray       # [S, 3]
-    feat: jnp.ndarray           # [C+1, FEAT_DIM, cluster_size] packed
-    #                             feature-major tiles; row C = zero sentinel
+    feat: jnp.ndarray           # [C/QUAD+1, FEAT_DIM, QUAD*cluster_size]
+    #                             feature-major tiles; last row = zero
+    #                             sentinel quad
     cluster_size: int
     super_size: int             # clusters per supercluster
 
@@ -94,7 +96,10 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     key = jnp.where(active, code, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
 
-    pad = (-P) % cluster_size
+    # Pad to a whole number of QUADS (fetch groups of 4 clusters) so the
+    # packed feature tiles are [FEAT_DIM, 4*cluster_size] — 128 lanes at the
+    # default cluster_size, the TPU DMA alignment unit.
+    pad = (-P) % (cluster_size * QUAD)
     if pad:
         order_p = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
         pad_mask = jnp.concatenate(
@@ -124,12 +129,13 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     super_lo = sc_lo.reshape(S, super_size, 3).min(axis=1)
     super_hi = sc_hi.reshape(S, super_size, 3).max(axis=1)
 
-    # Packed per-gaussian features, one contiguous FEATURE-MAJOR block per
-    # CLUSTER ([C+1, FEAT_DIM, cluster_size]) so a work-set fetch reads a
-    # dense 2-D tile per cluster (the Pallas tracer DMAs feat[cid] straight
-    # into VMEM). Row C is an all-zero SENTINEL cluster: selection slots
-    # beyond a block's valid candidates point at it, and its opacity-0
-    # gaussians fail the op >= 1/255 test — no validity masks anywhere.
+    # Packed per-gaussian features, one contiguous FEATURE-MAJOR tile per
+    # QUAD of 4 Morton-consecutive clusters ([Cq+1, FEAT_DIM,
+    # 4*cluster_size]) so a work-set fetch is one dense 128-lane-aligned
+    # DMA (the Pallas tracer copies feat[qid] straight into VMEM). Row Cq
+    # is an all-zero SENTINEL quad: selection slots beyond a block's valid
+    # candidates point at it, and its opacity-0 gaussians fail the
+    # op >= 1/255 test — no validity masks anywhere.
     xyz_s = xyz[order_p].astype(jnp.float32)
     cov_s = cov_inv[order_p].astype(jnp.float32)
     nrm_s = normal[order_p].astype(jnp.float32)
@@ -138,9 +144,10 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     feat = feat.at[:, 3:9].set(cov_s)
     feat = feat.at[:, 9].set(op_sorted.astype(jnp.float32))
     feat = feat.at[:, 10:13].set(nrm_s)
-    feat = feat.reshape(C, cluster_size, FEAT_DIM).transpose(0, 2, 1)
+    qs = QUAD * cluster_size
+    feat = feat.reshape(C // QUAD, qs, FEAT_DIM).transpose(0, 2, 1)
     feat = jnp.concatenate(
-        [feat, jnp.zeros((1, FEAT_DIM, cluster_size), jnp.float32)])
+        [feat, jnp.zeros((1, FEAT_DIM, qs), jnp.float32)])
 
     return GaussianBVH(
         order=order_p,
@@ -214,14 +221,17 @@ def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
     return sel_ids, valid, sel_mask
 
 
-def _cull_chunk(bvh: GaussianBVH, o, inv_d, k2: int, max_supers: int):
+def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
     """Cull a chunk of ray blocks. o/inv_d: [G, B, 3] (sorted, coherent
-    blocks). Returns (sel_clu [G, k2] cluster ids with sentinel
-    n_clusters = the zero cluster, overflow [G, B]).
+    blocks). Returns (sel_q [G, kq] QUAD ids with sentinel n_quads = the
+    zero quad, overflow [G, B]).
 
     Per block: two-level AABB culling with block-union candidate selection
     by ray-hit count (replaces the CUDA LBVH's per-ray DFS,
-    bvh/src/trace.cu:196-287) — every step a dense vectorized op."""
+    bvh/src/trace.cu:196-287) — every step a dense vectorized op. AABB
+    tests stay at cluster granularity; selection/fetch works on QUADs of 4
+    Morton-consecutive clusters (one aligned feature tile each), ranked by
+    the summed cluster hit counts."""
     G_, B = o.shape[:2]
     n_super = bvh.super_lo.shape[0]
     n_clusters = bvh.cluster_lo.shape[0]
@@ -251,25 +261,35 @@ def _cull_chunk(bvh: GaussianBVH, o, inv_d, k2: int, max_supers: int):
                        o[:, :, None], inv_d[:, :, None])        # [G, B, M]
     c_hit = c_hit & cand_ok[:, None, :]
     c_cnt = c_hit.sum(1)                                        # [G, M]
-    sel_clu, _, clu_mask = _topk_by_count(child, c_cnt, k2, n_clusters)
+    # Aggregate to quads: children are consecutive within each selected
+    # super (and C, ssz are multiples of QUAD), so groups of 4 along M are
+    # exactly the quads and validity is uniform within each group.
+    Mq = child.shape[1] // QUAD
+    n_quads = n_clusters // QUAD
+    q_cand = jnp.where(cand_ok[:, ::QUAD],
+                       child[:, ::QUAD] // QUAD, n_quads)       # [G, Mq]
+    q_cnt = c_cnt.reshape(G_, Mq, QUAD).sum(-1)
+    sel_q, _, q_mask = _topk_by_count(q_cand, q_cnt, kq, n_quads)
+    clu_mask = jnp.repeat(q_mask, QUAD, axis=1)                 # [G, M]
     c_over = (c_hit & ~clu_mask[:, None, :]).sum(-1)            # [G, B]
-    return sel_clu, c_over + s_over
+    return sel_q, c_over + s_over
 
 
-def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_clu):
+def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q):
     """Dense pairwise per-gaussian test (trace.cu:232-254) for a chunk of
-    blocks: o/d [G, B, 3], sel_clu [G, K2]. Returns (log_T, count) [G, B].
+    blocks: o/d [G, B, 3], sel_q [G, Kq] quad ids. Returns (log_T, count)
+    [G, B].
 
-    The reference path (and CPU path): the selected clusters' gaussians are
+    The reference path (and CPU path): the selected quads' gaussians are
     gathered ONCE per block as dense contiguous tiles — amortized over the
     whole block, no per-ray gathers — then every (ray, gaussian) pair is
     fused elementwise work. On TPU the same math runs in the Pallas kernel
-    `_trace_eval_kernel` (early exit + on-demand cluster DMA)."""
+    `_trace_eval_kernel` (early exit + on-demand quad DMA)."""
     G_, B = o.shape[:2]
-    cs = bvh.cluster_size
-    K2 = sel_clu.shape[1]
-    work = bvh.feat[sel_clu]                           # [G, K2, F, cs]
-    w = work.transpose(0, 2, 1, 3).reshape(G_, FEAT_DIM, K2 * cs)
+    qs = QUAD * bvh.cluster_size
+    Kq = sel_q.shape[1]
+    work = bvh.feat[sel_q]                             # [G, Kq, F, qs]
+    w = work.transpose(0, 2, 1, 3).reshape(G_, FEAT_DIM, Kq * qs)
     gx, gy, gz = w[:, 0], w[:, 1], w[:, 2]             # [G, N]
     cxx, cxy, cxz = w[:, 3], w[:, 4], w[:, 5]
     cyy, cyz, czz = w[:, 6], w[:, 7], w[:, 8]
@@ -310,21 +330,22 @@ def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_clu):
 
 
 _LOG_DEAD = float(np.log(0.9))   # all-rays-dead early-exit threshold
-_KCH = 16                        # clusters fetched per kernel grid step
+_KCH = 4                         # quads fetched per kernel grid step
 
 
 def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
-                       *, k2: int, cs: int):
-    """Pallas pairwise evaluation: grid (block, cluster-chunk).
+                       *, kq: int, qs: int):
+    """Pallas pairwise evaluation: grid (block, quad-chunk).
 
-    Per step: DMA `_KCH` selected clusters' feature tiles from HBM on
-    demand (sentinel slots fetch the zero cluster), evaluate the
-    [B, _KCH*cs] pairwise tile entirely in VMEM, and accumulate per-ray
-    log-transmittance + contributor count into the revisited output block.
-    Once EVERY ray in the block has T < 0.9 (visibility 0 regardless of
-    deeper geometry — the product only decreases), remaining chunks skip
-    both the fetch and the compute: the same early-termination the CUDA
-    per-ray DFS gets from its T < 0.9 break (trace.cu:232-254), block-wide."""
+    Per step: DMA `_KCH` selected quads' feature tiles from HBM on demand
+    (sentinel slots fetch the zero quad; tiles are [F, QUAD*cluster_size] —
+    128 lanes, the DMA alignment unit), evaluate the [B, _KCH*qs] pairwise
+    tile entirely in VMEM, and accumulate per-ray log-transmittance +
+    contributor count into the revisited output block. Once EVERY ray in
+    the block has T < 0.9 (visibility 0 regardless of deeper geometry —
+    the product only decreases), remaining chunks skip both the fetch and
+    the compute: the same early-termination the CUDA per-ray DFS gets from
+    its T < 0.9 break (trace.cu:232-254), block-wide."""
     i = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -337,9 +358,9 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
     @pl.when((g == 0) | alive)
     def _():
         def dma(k):
-            cid = sel_ref[i * k2 + g * _KCH + k]
+            qid = sel_ref[i * kq + g * _KCH + k]
             return pltpu.make_async_copy(
-                feat_hbm.at[cid], gau_vmem.at[:, pl.ds(k * cs, cs)],
+                feat_hbm.at[qid], gau_vmem.at[:, pl.ds(k * qs, qs)],
                 sem.at[k])
 
         for k in range(_KCH):
@@ -381,18 +402,32 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
         out_ref[0, :, 1:2] += cnt
 
 
+# Scalar-prefetch operands live in SMEM (1 MiB total); cap each dispatch's
+# `sel` slice well under that so big host batches compile (the whole-batch
+# sel at 1M rays / 32-ray blocks is ~3 MiB).
+_SEL_SMEM_BUDGET = 1 << 16   # int32 entries per pallas_call (256 KiB)
+
+
 def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
                         interpret: bool = False):
     """Run `_trace_eval_kernel` over all blocks. rays [nb*B, 3] sorted,
-    sel [nb, K2]. Returns (log_T, count) as [nb*B] arrays."""
-    nb, K2 = sel.shape
-    cs = bvh.cluster_size
+    sel [nb, Kq] quad ids. Returns (log_T, count) as [nb*B] arrays."""
+    nb, Kq = sel.shape
+    nbc = max(1, _SEL_SMEM_BUDGET // Kq)
+    if nb > nbc:
+        outs = [_eval_blocks_pallas(bvh, rays_o[i * B:(i + nbc) * B],
+                                    rays_d[i * B:(i + nbc) * B],
+                                    sel[i:i + nbc], B, interpret)
+                for i in range(0, nb, nbc)]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+    qs = QUAD * bvh.cluster_size
     rays = jnp.concatenate(
         [rays_o, rays_d, jnp.zeros((rays_o.shape[0], 2), jnp.float32)],
         axis=-1).reshape(nb, B, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, K2 // _KCH),
+        grid=(nb, Kq // _KCH),
         in_specs=[
             pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -401,12 +436,12 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
         out_specs=pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FEAT_DIM, _KCH * cs), jnp.float32),
+            pltpu.VMEM((FEAT_DIM, _KCH * qs), jnp.float32),
             pltpu.SemaphoreType.DMA((_KCH,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_trace_eval_kernel, k2=K2, cs=cs),
+        functools.partial(_trace_eval_kernel, kq=Kq, qs=qs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         interpret=interpret,
@@ -440,26 +475,29 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
 
     n_clusters = bvh.cluster_lo.shape[0]
     M = min(max_supers, bvh.super_lo.shape[0]) * bvh.super_size
-    K2 = min(max_clusters, M, n_clusters)
+    # Selection works on QUADs of 4 clusters (one aligned feature tile).
+    Kq = max(1, min(max_clusters, M, n_clusters) // QUAD)
+    qs = QUAD * bvh.cluster_size
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     use_pallas = (use_pallas and block_rays % 8 == 0
-                  and -(-K2 // _KCH) * _KCH <= M)
+                  and qs % 128 == 0
+                  and -(-Kq // _KCH) * _KCH <= max(1, M // QUAD))
     if use_pallas:
-        K2 = -(-K2 // _KCH) * _KCH       # kernel fetches _KCH per step
+        Kq = -(-Kq // _KCH) * _KCH       # kernel fetches _KCH quads/step
 
     def cull_body(_, oi):
         o, i = oi
-        return None, _cull_chunk(bvh, o, i, K2, max_supers)
+        return None, _cull_chunk(bvh, o, i, Kq, max_supers)
 
     _, (sel, overflow) = jax.lax.scan(cull_body, None, (OB, IB))
-    sel = sel.reshape(n_blocks, K2)
+    sel = sel.reshape(n_blocks, Kq)
 
     if use_pallas:
         log_T, count = _eval_blocks_pallas(
             bvh, rays_o, rays_d, sel, block_rays, interpret=interpret)
     else:
-        SB = sel.reshape(n_chunks, G_, K2)
+        SB = sel.reshape(n_chunks, G_, Kq)
 
         def eval_body(_, ods):
             o, d, s = ods

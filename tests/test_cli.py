@@ -83,9 +83,13 @@ class TestTrainCLI:
             "--densify_from_iter", "100", "--save_interval", "14",
             "--checkpoint_interval", "14", "--log_interval", "2",
             "--lambda_light", "0.01",
+            "--env_upsample_iters", "12",
         ])
         assert os.path.exists(out2 / "chkpnt14.npz")
         assert os.path.exists(out2 / "env_light_chkpnt14.npz")
+        # progressive env upsample fired at iter 12: 16x32 -> 32x64
+        env_arr = np.load(out2 / "env_light_chkpnt14.npz")["env.env"]
+        assert env_arr.shape[:2] == (32, 64), env_arr.shape
 
         # eval_nvs on the stage-2 model
         from relightable3dgaussian_tpu.cli import eval_nvs

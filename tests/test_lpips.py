@@ -120,3 +120,23 @@ def test_lpips_nan_without_weights(monkeypatch):
                                       np.zeros((3, 8, 8)))))
     finally:
         L._CACHE.clear()
+
+
+def test_lpips_random_backbone_escape_hatch(monkeypatch):
+    """LPIPS_WEIGHTS=random: deterministic random-VGG LPIPS for weight-less
+    environments — finite, 0 for identical images, >0 for different ones,
+    and flagged so evals can label the metric."""
+    monkeypatch.setenv("LPIPS_WEIGHTS", "random")
+    L._CACHE.clear()
+    try:
+        assert L.available() and L.is_random_backbone()
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+        y = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+        assert float(L.lpips(x, x)) == pytest.approx(0.0, abs=1e-6)
+        d1 = float(L.lpips(x, y))
+        assert np.isfinite(d1) and d1 > 0
+        L._CACHE.clear()
+        assert float(L.lpips(x, y)) == pytest.approx(d1, rel=1e-6)
+    finally:
+        L._CACHE.clear()
