@@ -326,10 +326,16 @@ def main():
         # per-scene densification tuning (the reference's shell scripts do
         # the same per dataset): the 2e-9 normal-gradient threshold fires on
         # every checker edge of this scene, so keep the xyz-gradient path
-        # only, and hard-cap capacity (drops are counted + reported)
-        "--densify_grad_threshold", "0.0004",
+        # only, and hard-cap capacity (drops are counted + reported).
+        # Capacity/threshold are sized for the 200px oracle: the round-3
+        # 178k-point run (4.5 gaussians/pixel) produced a fuzzy multi-layer
+        # shell whose per-gaussian normals never aligned (normal·radial
+        # ~0.26) and whose traced visibility averaged 0.41 on an OUTWARD
+        # hemisphere — stage-2 PBR then stalled at ~7 dB while the env
+        # light inflated 14x to compensate.
+        "--densify_grad_threshold", "0.0008",
         "--normal_densify_from_iter", str(args.iters1),
-        "--max_capacity", "262144",
+        "--max_capacity", "65536",
         # compress the 30k-iteration xyz LR schedule into this run's length
         "--position_lr_max_steps", str(args.iters1),
         "--lambda_mask_entropy", "0.1",
@@ -371,6 +377,9 @@ def main():
         "--lambda_roughness_smooth", "0",
         "--lambda_light_smooth", "0",
         "--lambda_env_smooth", "0.01",
+        # re-trace visibility as geometry settles (cheap with the block
+        # tracer; the reference left this commented for cost)
+        "--vis_refresh_interval", "1000",
         "--save_interval", str(total2),
         "--checkpoint_interval", "1000",
         "--test_interval", str(max(500, args.iters2 // 2)),

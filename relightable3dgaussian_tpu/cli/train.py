@@ -191,13 +191,15 @@ def training(args) -> None:
         def replan_fn(cur_cfg, p, a):
             new_cfg, _ = plan_raster_config(
                 cur_cfg, p, a.active, probe_views,
-                keep_buffer=bool(getattr(args, "buffer_multiple", 0)))
+                keep_buffer=bool(getattr(args, "buffer_multiple", 0)),
+                fit_depth_cap=not getattr(args, "max_chunks_per_tile", 0))
             return new_cfg
 
         cfg = replan_fn(cfg, params, aux)
         import dataclasses as _dc
         cfg_eval = _dc.replace(cfg_eval, tier_plan=cfg.tier_plan,
-                               buffer_multiple=cfg.buffer_multiple)
+                               buffer_multiple=cfg.buffer_multiple,
+                               max_chunks_per_tile=cfg.max_chunks_per_tile)
 
     ema = {}
     from ..utils.logging import MetricsLogger, debug_dump, save_training_vis
@@ -379,7 +381,9 @@ def training(args) -> None:
         params, aux, opt_state, env, env_state = _run_stage2(
             params, aux, opt_state, env, env_state, vis, views, cfg, opt,
             spatial_lr_scale, extent, first_iter, state, callback,
-            n_devices=n_devices, env_upsample_iters=ups)
+            n_devices=n_devices, env_upsample_iters=ups,
+            vis_refresh=getattr(args, "vis_refresh_interval", 0) or 0,
+            sample_num=pipe.sample_num, sharded_trace=sharded_trace)
 
     state.update(params=params, aux=aux, opt_state=opt_state, env=env,
                  env_state=env_state)
@@ -517,7 +521,8 @@ def _grow_opt_state(opt_state, params):
 
 def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
                 spatial_lr_scale, extent, first_iter, state, callback,
-                n_devices=1, env_upsample_iters=()):
+                n_devices=1, env_upsample_iters=(), vis_refresh=0,
+                sample_num=24, sharded_trace=None):
     rng = np.random.default_rng(0)
     stack = []
     use_dp = n_devices > 1
@@ -532,6 +537,18 @@ def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
             (params, aux, opt_state, env, env_state, vis), mesh)
         next_batch = _make_batcher(views, rng, n_devices, mesh)
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if (vis_refresh and iteration > first_iter + 1
+                and (iteration - 1) % vis_refresh == 0):
+            # Periodic visibility re-trace from the CURRENT geometry — the
+            # refresh the reference left commented out for cost
+            # (train.py:110-112); cheap here, and it removes vis-cache
+            # staleness as geometry drifts during stage 2.
+            from ..models.render_neilf import update_visibility
+            print(f"[ITER {iteration}] re-tracing visibility "
+                  f"({sample_num} samples)", flush=True)
+            vis_new = update_visibility(params, aux.active, sample_num,
+                                        sharded_trace=sharded_trace)
+            vis = replicate(vis_new, mesh) if use_dp else vis_new
         if iteration in env_upsample_iters:
             # Progressive env-map refinement (reference DirectLightMap
             # upsampling, direct_light_map.py:85-101): params AND Adam
@@ -672,6 +689,10 @@ def main(argv=None):
     parser.add_argument("--test_interval", type=int, default=2500)
     parser.add_argument("--report_max_views", type=int, default=0,
                         help="cap periodic test-PSNR views (0 = all)")
+    parser.add_argument("--vis_refresh_interval", type=int, default=0,
+                        help="stage-2: re-trace the visibility cache every "
+                             "N iterations (reference train.py:110-112, "
+                             "left commented there for cost; 0 = never)")
     parser.add_argument("--env_upsample_iters", default="",
                         help="comma-separated stage-2 iterations at which "
                              "to 2x-upsample the learnable env map "

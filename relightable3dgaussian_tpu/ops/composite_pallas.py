@@ -43,7 +43,7 @@ GEOM_FIELDS = 8
 
 
 def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm,
-            img_ref, count_ref, wsum_hbm,
+            img_ref, count_ref, wsum_hbm, ft_ref,
             data_vmem, wsum_vmem, sem_g, sem_w,
             *, cfg: RasterConfig, with_weights: bool):
     del wsum_init_hbm  # aliased to wsum_hbm: pre-zeroed slots
@@ -162,8 +162,14 @@ def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm,
         c, T = state
         return (c < n_chunks) & (jnp.max(T) >= 1e-4)
 
-    c_final, _ = jax.lax.while_loop(
+    c_final, T_final = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.ones((tt, 1), jnp.float32)))
+
+    # Walk state for the single-pass backward (backward.cu:400-614 needs
+    # final_T + the per-pixel contributor bound; we save final T per pixel
+    # and the chunk the tile walk stopped at).
+    ft_ref[0, :, 0:1] = T_final
+    ft_ref[0, :, 1:2] = jnp.full((tt, 1), 1.0) * c_final.astype(jnp.float32)
 
     # Early exit can leave one prefetch in flight; drain it.
     @pl.when(c_final < n_chunks)
@@ -223,6 +229,8 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
             pl.BlockSpec((1, tt, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tt, 2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_FIELDS + A_pad, C), jnp.float32),
@@ -231,13 +239,14 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    img, count, wsum = pl.pallas_call(
+    img, count, wsum, ft = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((cfg.num_tiles, tt, A_pad), jnp.float32),
             jax.ShapeDtypeStruct((cfg.num_tiles, tt, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_rows, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.num_tiles, tt, 2), jnp.float32),
         ],
         # wsum_init (input 3 incl. the 2 prefetch args) aliases the wsum
         # output so slots skipped by early exit stay zero.
@@ -255,7 +264,7 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
         weights = weights_ds[binning.rank_of]
     else:
         weights = jnp.zeros((P,), jnp.float32)
-    return img[:, :, :A], weights, count[:, :, 0]
+    return img[:, :, :A], weights, count[:, :, 0], ft
 
 
 # ---------------------------------------------------------------------------
@@ -268,25 +277,29 @@ def composite_fast(binning: Binning, mean2d, conic, opacity, attrs,
     """Tile compositing with the Pallas kernel as the primal and the
     differentiable jnp compositor (ops/composite.py) driving the backward
     (they agree numerically, so the VJP is exact)."""
-    img, weights, count = composite_pallas_forward(
+    img, weights, count, _ = composite_pallas_forward(
         binning, mean2d, conic, opacity, attrs, cfg,
         with_weights=cfg.compute_weights)
     return img, weights, count
 
 
 def _fast_fwd(binning, mean2d, conic, opacity, attrs, cfg):
-    out = composite_fast(binning, mean2d, conic, opacity, attrs, cfg)
-    return out, (binning, mean2d, conic, opacity, attrs)
+    img, weights, count, ft = composite_pallas_forward(
+        binning, mean2d, conic, opacity, attrs, cfg,
+        with_weights=cfg.compute_weights)
+    return (img, weights, count), (binning, mean2d, conic, opacity, attrs,
+                                   ft)
 
 
 def _fast_bwd(cfg, residuals, cotangents):
-    binning, mean2d, conic, opacity, attrs = residuals
+    binning, mean2d, conic, opacity, attrs, ft = residuals
     g_img, g_weights, _ = cotangents
 
     if jax.default_backend() == "tpu":
         from .composite_pallas_bwd import composite_pallas_backward
         g_mean2d, g_conic, g_opacity, g_attrs = composite_pallas_backward(
-            binning, mean2d, conic, opacity, attrs, g_img, g_weights, cfg)
+            binning, mean2d, conic, opacity, attrs, g_img, g_weights, cfg,
+            walk_state=ft)
     else:
         from .composite import composite as composite_jnp
 

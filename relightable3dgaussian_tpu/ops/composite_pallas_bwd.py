@@ -25,6 +25,7 @@ Gradient parity with jax.vjp of ops/composite.py is asserted by tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -279,16 +280,206 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
         astore_dma(sl, c_b - 1).wait()
 
 
+def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
+                       gattr_init, gimg_ref, ft_ref, ggeom_hbm, gattr_hbm,
+                       data_vmem, grad_vmem, gattr_vmem,
+                       sem_g, sem_w, sem_x, sem_ww, sem_xw,
+                       *, cfg: RasterConfig):
+    """ONE back-to-front chunk walk (the CUDA scheme, backward.cu:400-614).
+
+    Uses the forward's saved walk state (per-pixel final T, per-tile stop
+    chunk) to start at the early-exit point and reconstruct per-entry
+    transmittance by division: T_i = T_end / Π_{k>=i}(1-α_k) — α is capped
+    at 0.99 so each factor is >= 0.01, and lanes where the suffix product
+    underflows have T < blend-cutoff anyway (their w, and every w after
+    them, is zero), so clamping the divisor is safe. The suffix
+    Σ_{k>i} w_k d_k accumulates directly along the walk, eliminating the
+    two-walk variant's whole phase A."""
+    del ggeom_init, gattr_init  # aliased outputs (pre-zeroed)
+    tile = cfg.tile
+    tt = tile * tile
+    C = cfg.chunk
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+
+    tile_x = (t % cfg.tiles_x).astype(jnp.float32)
+    tile_y = (t // cfg.tiles_x).astype(jnp.float32)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    px = tile_x * tile + (p_idx % tile).astype(jnp.float32)
+    py = tile_y * tile + (p_idx // tile).astype(jnp.float32)
+
+    row0 = start // C
+    n_chunks = jnp.minimum(pl.cdiv(end, C) - row0, cfg.max_chunks_per_tile)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    g_img = gimg_ref[0]                           # [tt, A_pad]
+    final_T = ft_ref[0, :, 0:1]                   # [tt, 1]
+    nw = jnp.minimum(
+        jnp.max(ft_ref[0, :, 1]).astype(jnp.int32), n_chunks)
+
+    def data_dma(slot, c):
+        return pltpu.make_async_copy(data_hbm.at[row0 + c],
+                                     data_vmem.at[slot], sem_g.at[slot])
+
+    def gload_dma(slot, c):
+        return pltpu.make_async_copy(ggeom_hbm.at[row0 + c],
+                                     grad_vmem.at[slot], sem_w.at[slot])
+
+    def aload_dma(slot, c):
+        return pltpu.make_async_copy(gattr_hbm.at[row0 + c],
+                                     gattr_vmem.at[slot], sem_x.at[slot])
+
+    def gstore_dma(slot, c):
+        return pltpu.make_async_copy(grad_vmem.at[slot],
+                                     ggeom_hbm.at[row0 + c], sem_ww.at[slot])
+
+    def astore_dma(slot, c):
+        return pltpu.make_async_copy(gattr_vmem.at[slot],
+                                     gattr_hbm.at[row0 + c], sem_xw.at[slot])
+
+    @pl.when(nw > 0)
+    def _():
+        sl = jax.lax.rem(nw - 1, 2)
+        data_dma(sl, nw - 1).start()
+        gload_dma(sl, nw - 1).start()
+        aload_dma(sl, nw - 1).start()
+
+    def body(state):
+        c, T_end, suffix = state
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c >= 1)
+        def _():
+            data_dma(1 - slot, c - 1).start()
+
+        data_dma(slot, c).wait()
+        data = data_vmem[slot]
+        row = row0 + c
+        slot0 = row * C
+        mean_x = data[0:1, :]
+        mean_y = data[1:2, :]
+        con_a = data[2:3, :]
+        con_b = data[3:4, :]
+        con_c = data[4:5, :]
+        opac = data[5:6, :]
+        g_w = data[6:7, :]
+
+        dx = mean_x - px
+        dy = mean_y - py
+        power = (-0.5 * (con_a * dx * dx + con_c * dy * dy)
+                 - con_b * dx * dy)
+        raw = opac * jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.minimum(0.99, raw)
+        lane = slot0 + lane_f
+        ok = ((power <= 0.0) & (alpha >= 1.0 / 255.0)
+              & (lane >= start) & (lane < end))
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        # reverse (suffix-inclusive) cumprod of (1-alpha): lane i takes
+        # lane i+d — roll right by C-d is roll left by d.
+        sufprod = 1.0 - alpha
+        d_ = 1
+        while d_ < C:
+            shifted = pltpu.roll(sufprod, C - d_, axis=1)
+            sufprod = sufprod * jnp.where(lane_f < C - d_, shifted, 1.0)
+            d_ *= 2
+        T_at = T_end / jnp.maximum(sufprod, 1e-30)
+        blend = T_at >= 1e-4
+        w = jnp.where(blend, alpha * T_at, 0.0)
+
+        d = jax.lax.dot_general(
+            g_img, data[GEOM_FIELDS:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + g_w  # [tt, C]
+
+        wd = w * d
+        # reverse inclusive cumsum of wd
+        rsum = wd
+        d_ = 1
+        while d_ < C:
+            shifted = pltpu.roll(rsum, C - d_, axis=1)
+            rsum = rsum + jnp.where(lane_f < C - d_, shifted, 0.0)
+            d_ *= 2
+        suffix_i = suffix + rsum - wd             # Σ_{k>i} w_k d_k
+
+        g_alpha = (jnp.where(blend, T_at * d, 0.0)
+                   - suffix_i / (1.0 - alpha))
+        g_alpha = jnp.where(ok, g_alpha, 0.0)
+
+        uncapped = raw < 0.99
+        g_raw = jnp.where(uncapped, g_alpha, 0.0)
+        exp_pow = jnp.where(opac > 0, raw / jnp.maximum(opac, 1e-12), 0.0)
+        g_op = jnp.sum(g_raw * exp_pow, axis=0, keepdims=True)   # [1, C]
+        g_power = g_raw * raw                                     # [tt, C]
+        g_ca = jnp.sum(g_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        g_cb = jnp.sum(g_power * (-dx * dy), axis=0, keepdims=True)
+        g_cc = jnp.sum(g_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        g_dx = g_power * (-(con_a * dx + con_b * dy))
+        g_dy = g_power * (-(con_c * dy + con_b * dx))
+        g_mx = jnp.sum(g_dx, axis=0, keepdims=True)
+        g_my = jnp.sum(g_dy, axis=0, keepdims=True)
+
+        g_attr = jax.lax.dot_general(
+            g_img, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        zeros1 = jnp.zeros_like(g_op)
+        grad_rows = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, zeros1, zeros1], axis=0)
+
+        gload_dma(slot, c).wait()
+        aload_dma(slot, c).wait()
+        grad_vmem[slot] += grad_rows
+        gattr_vmem[slot] += g_attr
+        gstore_dma(slot, c).start()
+        astore_dma(slot, c).start()
+
+        # The other slot's previous store (chunk c+1) must drain before its
+        # next load may reuse the buffer.
+        @pl.when(c <= nw - 2)
+        def _():
+            gstore_dma(1 - slot, c + 1).wait()
+            astore_dma(1 - slot, c + 1).wait()
+
+        @pl.when(c >= 1)
+        def _():
+            gload_dma(1 - slot, c - 1).start()
+            aload_dma(1 - slot, c - 1).start()
+
+        return c - 1, T_at[:, 0:1], suffix + rsum[:, 0:1]
+
+    def cond(state):
+        return state[0] >= 0
+
+    jax.lax.while_loop(
+        cond, body,
+        (nw - 1, final_T, jnp.zeros((tt, 1), jnp.float32)))
+
+    # chunk 0's stores (started on the final iteration) are still in flight
+    @pl.when(nw > 0)
+    def _():
+        gstore_dma(0, 0).wait()
+        astore_dma(0, 0).wait()
+
+
 def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
                               attrs, g_img, g_weights, cfg: RasterConfig,
-                              interpret: bool = False):
+                              interpret: bool = False, walk_state=None):
     """Cotangents (g_mean2d, g_conic, g_opacity, g_attrs) via the Pallas
     backward kernel.
 
     Args:
       g_img: [num_tiles, tt, A] cotangent of the composited image.
       g_weights: [P] cotangent of the per-gaussian blend weights.
+      walk_state: optional [num_tiles, tt, 2] forward walk state (final T,
+        stop chunk) — with it the single back-to-front walk kernel runs
+        (half the chunk walks); without it the two-walk variant.
     """
+    single = walk_state is not None and os.environ.get(
+        "R3DG_BWD_TWO_WALK") != "1"
     P, A = attrs.shape
     A_pad = -(-A // 8) * 8
     B = binning.sorted_rank.shape[0]
@@ -313,17 +504,26 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
     ggeom_init = jnp.zeros((n_rows, GRAD_FIELDS, C), jnp.float32)
     gattr_init = jnp.zeros((n_rows, A_pad, C), jnp.float32)
 
-    kernel = functools.partial(_bwd_kernel, cfg=cfg)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [binning.tile_start, binning.tile_end, data, ggeom_init,
+              gattr_init, g_img_pad]
+    if single:
+        kernel = functools.partial(_bwd_kernel_single, cfg=cfg)
+        in_specs.append(pl.BlockSpec((1, tt, 2), lambda t, *_: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(walk_state)
+    else:
+        kernel = functools.partial(_bwd_kernel, cfg=cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -350,8 +550,7 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
         # (inputs incl. 2 prefetch args: ggeom_init=3, gattr_init=4)
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
-    )(binning.tile_start, binning.tile_end, data, ggeom_init,
-      gattr_init, g_img_pad)
+    )(*inputs)
 
     # [rows, F, C] → per-slot rows [B, F] → segment-add per RANK, then map
     # rank space back to storage order with [P] gathers.

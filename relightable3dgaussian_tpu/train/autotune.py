@@ -39,16 +39,20 @@ def _probe_touched(params, active, opacity, cam, c):
 
 @functools.partial(jax.jit, static_argnames=("c",))
 def _probe_pairs(params, active, opacity, cam, c):
+    import jax.numpy as jnp
     prep = preprocess(params.xyz, G.get_scaling(params),
                       G.get_rotation(params), G.get_shs(params), None,
                       cam, c, active, opacity=opacity)
     b = bin_gaussians(prep, c, opacity)
-    return b.num_rendered, b.overflow_pairs
+    # deepest tile's chunk count (pre-cap), for sizing max_chunks_per_tile
+    depth = (-(-b.tile_end // c.chunk)) - b.tile_start // c.chunk
+    return b.num_rendered, b.overflow_pairs, jnp.max(depth)
 
 
 def plan_raster_config(cfg: RasterConfig, params, active, views, *,
                        margin: float = 1.2, max_probe_views: int = 3,
-                       keep_buffer: bool = False, verbose: bool = True):
+                       keep_buffer: bool = False, fit_depth_cap: bool = True,
+                       verbose: bool = True):
     """Measure footprints on a few probe views and return a re-planned cfg.
 
     Returns (new_cfg, info) where info has the measured pair count, the
@@ -71,10 +75,12 @@ def plan_raster_config(cfg: RasterConfig, params, active, views, *,
 
     pairs = 0
     overflow = 0
+    depth = 0
     for v in probes:
-        n, ov = _probe_pairs(params, active, opacity, v.cam, new_cfg)
+        n, ov, dp = _probe_pairs(params, active, opacity, v.cam, new_cfg)
         pairs = max(pairs, int(n))
         overflow = max(overflow, int(ov))
+        depth = max(depth, int(dp))
     if not keep_buffer:
         P = params.capacity
         # headroom + snap to even multiples so repeated plans hit the
@@ -82,11 +88,20 @@ def plan_raster_config(cfg: RasterConfig, params, active, views, *,
         bm = -(-int(pairs * margin) // P)
         bm = max(4, -(-bm // 2) * 2)
         new_cfg = dataclasses.replace(new_cfg, buffer_multiple=bm)
+    # Fit the per-tile depth cap to the deepest probe tile (pow2 snap for
+    # compile-cache stability). The cap only bounds walk length — the
+    # kernels early-exit on T<1e-4 long before it in opaque regions — but
+    # an undersized cap silently drops the deepest chunks of dense tiles.
+    cap = max(8, 1 << (int(depth * margin) - 1).bit_length())
+    if fit_depth_cap and cap > cfg.max_chunks_per_tile:
+        new_cfg = dataclasses.replace(new_cfg, max_chunks_per_tile=cap)
     info = {"pairs": pairs, "overflow": overflow, "plan": plan,
-            "buffer_multiple": new_cfg.buffer_multiple}
+            "buffer_multiple": new_cfg.buffer_multiple,
+            "max_chunks_per_tile": new_cfg.max_chunks_per_tile}
     if verbose:
         print(f"[plan] tier_plan={plan} pairs={pairs} "
               f"probe_overflow={overflow} "
               f"buffer_multiple={new_cfg.buffer_multiple} "
+              f"max_chunks_per_tile={new_cfg.max_chunks_per_tile} "
               f"({len(probes)} probe views)", flush=True)
     return new_cfg, info

@@ -84,6 +84,7 @@ class TestTrainCLI:
             "--checkpoint_interval", "14", "--log_interval", "2",
             "--lambda_light", "0.01",
             "--env_upsample_iters", "12",
+            "--vis_refresh_interval", "6",
         ])
         assert os.path.exists(out2 / "chkpnt14.npz")
         assert os.path.exists(out2 / "env_light_chkpnt14.npz")

@@ -46,7 +46,7 @@ class TestPallasComposite:
     def test_matches_jnp(self, pipeline):
         cfg, prep, binning, opac, attrs = pipeline
         ref = composite(binning, prep.mean2d, prep.conic, opac, attrs, cfg)
-        img, weights, count = composite_pallas_forward(
+        img, weights, count, ft = composite_pallas_forward(
             binning, prep.mean2d, prep.conic, opac, attrs, cfg,
             interpret=INTERPRET)
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
@@ -56,10 +56,16 @@ class TestPallasComposite:
                                    rtol=1e-3)
         mismatch = (np.asarray(count) != np.asarray(ref.n_contrib)).mean()
         assert mismatch < 1e-3
+        # walk state: final T in (0, 1], stop chunk a small non-negative int
+        ftn = np.asarray(ft)
+        assert ftn.shape == (cfg.num_tiles, cfg.tile * cfg.tile, 2)
+        assert (ftn[..., 0] >= 0).all() and (ftn[..., 0] <= 1 + 1e-6).all()
+        assert (ftn[..., 1] >= 0).all()
+        assert (ftn[..., 1] <= cfg.max_chunks_per_tile).all()
 
     def test_nontrivial_output(self, pipeline):
         cfg, prep, binning, opac, attrs = pipeline
-        img, weights, count = composite_pallas_forward(
+        img, weights, count, _ = composite_pallas_forward(
             binning, prep.mean2d, prep.conic, opac, attrs, cfg,
             interpret=INTERPRET)
         assert float(jnp.abs(img).max()) > 0.1
