@@ -15,7 +15,7 @@ cd "$(dirname "$0")/.."
 
 for attempt in $(seq 1 "$ATTEMPTS"); do
   echo "[retry] attempt $attempt $(date -Is)" >> "$LOG"
-  python -u examples/quality_eval.py "$@" >> "$LOG" 2>&1 &
+  python -u examples/quality_eval.py --workdir "$WORKDIR" "$@" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > "$WORKDIR/run.pid"
   while kill -0 "$PID" 2>/dev/null; do
