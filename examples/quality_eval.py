@@ -259,6 +259,9 @@ def main():
     ap.add_argument("--iters1", type=int, default=7000)
     ap.add_argument("--iters2", type=int, default=3000)
     ap.add_argument("--sample_num", type=int, default=32)
+    ap.add_argument("--eval_sample_num", type=int, default=384,
+                    help="incident samples for the final eval re-trace "
+                         "(the reference relights at 384, readme.md:141-144)")
     ap.add_argument("--max_init_points", type=int, default=30000)
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke configuration")
@@ -272,6 +275,7 @@ def main():
         args.size, args.n_train, args.n_test = 100, 24, 4
         args.iters1, args.iters2 = 600, 200
         args.max_init_points = 6000
+        args.eval_sample_num = 32
 
     t_start = time.time()
     scene_dir = os.path.join(args.workdir, "scene")
@@ -421,7 +425,9 @@ def main():
     print(f"[eval] {n_act} gaussians after stage 2")
     report["n_gaussians"] = n_act
 
-    vis = update_visibility(params, aux.active, args.sample_num)
+    s_eval = max(args.sample_num, args.eval_sample_num)
+    print(f"[eval] tracing visibility at {s_eval} samples")
+    vis = update_visibility(params, aux.active, s_eval)
     cfg = train_cli.raster_config(test_cams, EVAL_FEATURE_DIM, True,
                                   compute_pseudo_normal=False)
     cfg1 = dataclasses.replace(cfg, feature_dim=5)
