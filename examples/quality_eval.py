@@ -263,6 +263,13 @@ def main():
                     help="incident samples for the final eval re-trace "
                          "(the reference relights at 384, readme.md:141-144)")
     ap.add_argument("--max_init_points", type=int, default=30000)
+    ap.add_argument("--densify_grad_threshold", default="0.0008",
+                    help="stage-1 densify threshold; tune with --size so "
+                         "the point budget stays at reference density "
+                         "(~2-6 px/gaussian). Per-gaussian normals are "
+                         "only constrained through compositing, so at "
+                         "<1 px/gaussian they never align and stage-2 "
+                         "PBR cannot decompose.")
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke configuration")
     ap.add_argument("--skip1", action="store_true",
@@ -337,7 +344,7 @@ def main():
         # ~0.26) and whose traced visibility averaged 0.41 on an OUTWARD
         # hemisphere — stage-2 PBR then stalled at ~7 dB while the env
         # light inflated 14x to compensate.
-        "--densify_grad_threshold", "0.0008",
+        "--densify_grad_threshold", str(args.densify_grad_threshold),
         "--normal_densify_from_iter", str(args.iters1),
         "--max_capacity", "65536",
         # compress the 30k-iteration xyz LR schedule into this run's length
