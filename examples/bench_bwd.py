@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--mode", choices=["both", "single", "two"],
                     default="both")
+    ap.add_argument("--chunk", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -42,7 +43,9 @@ def main():
 
     size, n = args.size, args.n
     cfg_train = RasterConfig(height=size, width=size, feature_dim=5,
-                             sh_degree=3, buffer_multiple=12)
+                             sh_degree=3, buffer_multiple=12,
+                             chunk=args.chunk,
+                             max_chunks_per_tile=64 * 128 // args.chunk)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
     r = jax.random.uniform(ks[0], (n, 1)) ** (1 / 3)
@@ -62,19 +65,24 @@ def main():
                              lambda_mask_entropy=0.1, lambda_depth_var=1e-2)
     opt_state = init_adam(params)
 
+    def sync(out):
+        # block_until_ready is a no-op through the axon tunnel; a value
+        # fetch is the only reliable device sync.
+        float(jnp.asarray(out[0].xyz[0, 0]))
+
     def run(label):
         t0 = time.time()
         out = train_step(params, aux, opt_state, view, jnp.asarray(1),
                          jax.random.PRNGKey(0), cfg=cfg_train, opt=opt,
                          spatial_lr_scale=1.0)
-        jax.block_until_ready(out[0])
+        sync(out)
         print(f"{label}: compile+first {time.time() - t0:.1f}s", flush=True)
         t0 = time.time()
         for i in range(args.iters):
             out = train_step(out[0], out[1], out[2], view,
                              jnp.asarray(i + 2), jax.random.PRNGKey(i),
                              cfg=cfg_train, opt=opt, spatial_lr_scale=1.0)
-        jax.block_until_ready(out[0])
+        sync(out)
         dt = (time.time() - t0) / args.iters
         print(f"{label}: {dt * 1e3:.1f} ms/it = {1 / dt:.2f} it/s",
               flush=True)

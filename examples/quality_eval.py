@@ -347,8 +347,10 @@ def main():
         "--densify_grad_threshold", str(args.densify_grad_threshold),
         "--normal_densify_from_iter", str(args.iters1),
         "--max_capacity", "65536",
-        # compress the 30k-iteration xyz LR schedule into this run's length
+        # compress the 30k-iteration xyz LR schedule + depth-var ramp into
+        # this run's length
         "--position_lr_max_steps", str(args.iters1),
+        "--depth_var_ramp_iters", str(max(500, args.iters1 * 5000 // 30000)),
         "--lambda_mask_entropy", "0.1",
         "--lambda_normal_render_depth", "0.01",
         "--lambda_depth_var", "1e-2",

@@ -138,7 +138,8 @@ def calculate_loss(view: ViewInputs, params: G.GaussianParams,
     if opt.lambda_depth_var > 0:
         lv = jnp.sqrt(jnp.maximum(results["depth_var"], 1e-6)).mean()
         ramp = jnp.minimum(
-            jnp.power(10.0, iteration.astype(jnp.float32) / 5000.0), 100.0)
+            jnp.power(10.0, iteration.astype(jnp.float32)
+                      / float(opt.depth_var_ramp_iters)), 100.0)
         tb["loss_depth_var"] = lv
         loss = loss + opt.lambda_depth_var * ramp * lv
 

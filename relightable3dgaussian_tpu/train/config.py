@@ -82,6 +82,10 @@ class OptimizationConfig:
     lambda_orientation_from_iter: int = 5000
     lambda_depth_var: float = 0.0
     lambda_scaling: float = 0.0
+    # The reference's depth-var ramp 10^(it/5000) (render.py:204) assumes a
+    # 30k-iteration schedule; compressed runs scale this down so the ramp
+    # reaches the same strength at the same relative progress.
+    depth_var_ramp_iters: int = 5000
 
     lambda_dssim: float = 0.2
     lambda_pbr: float = 1.0
