@@ -73,7 +73,13 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
     )[0].astype(jnp.int32)
 
     if cfg.compute_pseudo_normal:
-        surface, pseudo = pseudo_normal_from_depth(depth[0], cam)
+        # Opacity-normalized depth, like renderSurfaceXYZCUDA
+        # (forward.cu:420: depth / max(opacity, 1e-7)) — the raw
+        # alpha-weighted sum varies with coverage, which corrupts the
+        # unprojected surface and its cross-product normals wherever
+        # opacity < 1 (e.g. all of early training).
+        depth_n = depth[0] / jnp.maximum(opac[0], 1e-7)
+        surface, pseudo = pseudo_normal_from_depth(depth_n, cam)
     else:
         surface = jnp.zeros((3, H, W), means3d.dtype)
         pseudo = jnp.zeros((3, H, W), means3d.dtype)

@@ -124,7 +124,9 @@ def rasterize_dense(means3d, scales, rotations, opacity, shs, features,
     depth_img = depth_map.reshape(1, H, W)
     opacity_img = opac.reshape(1, H, W)
     if cfg.compute_pseudo_normal:
-        surface, pseudo = pseudo_normal_from_depth(depth_img[0], cam)
+        # forward.cu:420: opacity-normalized depth feeds the surface map
+        depth_n = depth_img[0] / jnp.maximum(opacity_img[0], 1e-7)
+        surface, pseudo = pseudo_normal_from_depth(depth_n, cam)
     else:
         surface = jnp.zeros((3, H, W))
         pseudo = jnp.zeros((3, H, W))

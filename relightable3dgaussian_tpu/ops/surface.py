@@ -2,7 +2,8 @@
 
 Replaces `renderSurfaceXYZCUDA` / `renderPseudoNormalCUDA`
 (/root/reference/r3dg-rasterization/cuda_rasterizer/forward.cu:398-491) with
-plain jnp stencils: unproject the (raw, alpha-weighted) depth map to
+plain jnp stencils: unproject the opacity-normalized depth map (callers
+divide the alpha-weighted sum by opacity first, forward.cu:420) to
 camera-space points, take Sobel/8 gradients with replicate padding, and rotate
 the resulting cross-product normal into world space.
 """
