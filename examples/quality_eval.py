@@ -393,6 +393,14 @@ def main():
         "--depth_var_ramp_iters", str(args.ramp_iters),
         "--lambda_mask_entropy", "0.1",
         "--lambda_normal_render_depth", "0.01",
+        # Normals get gradients ONLY from the normal-consistency losses, so
+        # Adam's scale-free steps walk them at full normal_lr toward
+        # whatever the pseudo-normal says — which early in training is
+        # depth NOISE (at 400px the sphere's neighbor-pixel depth deltas
+        # are ~0.006 world units, well under the depth render noise).
+        # 0.001 (the reference's own stage-2 normal_lr) preserves the
+        # MVS-grade init while still refining once depth settles.
+        "--normal_lr", "0.001",
         "--lambda_depth_var", "1e-2",
         "--save_interval", str(args.iters1),
         # periodic checkpoints: the remote-TPU tunnel can wedge mid-run
