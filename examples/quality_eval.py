@@ -438,9 +438,12 @@ def main():
         "--lambda_roughness_smooth", "0",
         "--lambda_light_smooth", "0",
         "--lambda_env_smooth", "0.01",
-        # re-trace visibility as geometry settles (cheap with the block
-        # tracer; the reference left this commented for cost)
-        "--vis_refresh_interval", "1000",
+        # NO periodic visibility refresh: measured on the oracle, swapping
+        # the cache mid-training destabilizes the fitted light balance
+        # (psnr_pbr 11.7 climbing -> 6.1 at the refresh boundary while the
+        # env inflated) — the reference leaves its refresh commented out
+        # too (train.py:110-112). The CLI flag remains available.
+        "--vis_refresh_interval", "0",
         "--save_interval", str(total2),
         "--checkpoint_interval", "1000",
         "--test_interval", str(max(500, args.iters2 // 2)),
