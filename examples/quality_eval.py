@@ -293,6 +293,8 @@ def main():
                          "noisy normals (the reference's Syn4/NeILF "
                          "relighting protocol); random = NVS-protocol "
                          "random ball")
+    ap.add_argument("--normal_lr1", default="0.0001",
+                    help="stage-1 normal LR (see stage-1 args comment)")
     ap.add_argument("--ramp_iters", type=int, default=999999,
                     help="depth_var_ramp_iters passed to stage 1 "
                          "(999999 freezes the ramp at ~1x; 5000 = "
@@ -398,9 +400,10 @@ def main():
         # whatever the pseudo-normal says — which early in training is
         # depth NOISE (at 400px the sphere's neighbor-pixel depth deltas
         # are ~0.006 world units, well under the depth render noise).
-        # 0.001 (the reference's own stage-2 normal_lr) preserves the
-        # MVS-grade init while still refining once depth settles.
-        "--normal_lr", "0.001",
+        # 1e-4 effectively preserves the MVS-grade init (measured: even
+        # 0.001 walks alignment 0.99 -> 0.64 within the first noisy 1000
+        # iters; 0.01, the NVS-protocol default, destroys it outright).
+        "--normal_lr", str(args.normal_lr1),
         "--lambda_depth_var", "1e-2",
         "--save_interval", str(args.iters1),
         # periodic checkpoints: the remote-TPU tunnel can wedge mid-run
