@@ -24,19 +24,26 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_conv(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """[C, H, W] same-padded depthwise 2D convolution."""
+    """[C, H, W] same-padded depthwise 2D convolution.
+
+    precision=HIGHEST: TPU convs default to bf16 multiplies; loss filters
+    feed E[x^2]-mu^2 cancellations where bf16 error (~4e-3) swamps the
+    SSIM stabilizer c2=9e-4 (measured: per-window SSIM reached -2e4 on a
+    saturated render, destabilizing stage-2 training)."""
     c = img.shape[0]
     k = jnp.asarray(kernel)[None, None]              # [1, 1, kh, kw]
     k = jnp.tile(k, (c, 1, 1, 1))                    # [C, 1, kh, kw]
     return jax.lax.conv_general_dilated(
         img[None], k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c)[0]
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)[0]
 
 
 def _gaussian_blur(img: jnp.ndarray, g1d: np.ndarray) -> jnp.ndarray:
     """Separable gaussian filter ([C, H, W]): two 1-D depthwise convs
-    (11+11 taps instead of 121 — the window is rank-1)."""
+    (11+11 taps instead of 121 — the window is rank-1). f32-precision
+    convs (see _depthwise_conv note)."""
     c = img.shape[0]
     kv = jnp.asarray(g1d, jnp.float32).reshape(1, 1, -1, 1)
     kh = jnp.asarray(g1d, jnp.float32).reshape(1, 1, 1, -1)
@@ -45,7 +52,8 @@ def _gaussian_blur(img: jnp.ndarray, g1d: np.ndarray) -> jnp.ndarray:
         x = jax.lax.conv_general_dilated(
             x, jnp.tile(k, (c, 1, 1, 1)), (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c)
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
     return x[0]
 
 
@@ -57,8 +65,11 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     mu1 = _gaussian_blur(img1, g)
     mu2 = _gaussian_blur(img2, g)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1 = _gaussian_blur(img1 * img1, g) - mu1_sq
-    sigma2 = _gaussian_blur(img2 * img2, g) - mu2_sq
+    # True variances are >= 0; the E[x^2]-mu^2 cancellation leaves only
+    # float rounding below zero. Clamping keeps the denominator >= c2 > 0
+    # so per-window SSIM stays bounded in [-1, 1] for any input.
+    sigma1 = jnp.maximum(_gaussian_blur(img1 * img1, g) - mu1_sq, 0.0)
+    sigma2 = jnp.maximum(_gaussian_blur(img2 * img2, g) - mu2_sq, 0.0)
     sigma12 = _gaussian_blur(img1 * img2, g) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
