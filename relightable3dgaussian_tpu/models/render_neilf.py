@@ -89,6 +89,47 @@ def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
                            overflow_total=overflow.sum())
 
 
+# Cap on P*S shading samples per dispatch: the rendering equation holds
+# several [P, S, 3] f32 intermediates at once, so an unchunked eval at
+# S=384 on ~50k points allocates multiple GB and OOMs the chip. The
+# reference chunks inference shading the same way (neilf.py:96-108).
+_SHADE_CHUNK_SAMPLES = 4_000_000
+
+
+def _shade_points(base_color, roughness, normal, viewdirs, incidents,
+                  env, vis: VisibilityCache):
+    """rendering_equation, host-chunked over points on the concrete
+    (eval) path when P*S is big; single fused dispatch under jit."""
+    P, S = vis.visibility.shape[:2]
+    light_fn = lambda d: query_light(env, d)  # noqa: E731
+    if isinstance(base_color, jax.core.Tracer) or P * S <= _SHADE_CHUNK_SAMPLES:
+        return rendering_equation(base_color, roughness, normal, viewdirs,
+                                  incidents, light_fn, vis.visibility,
+                                  vis.incident_dirs, vis.incident_areas)
+    chunk = max(1, _SHADE_CHUNK_SAMPLES // S)
+    parts = []
+    for i in range(0, P, chunk):
+        sl = slice(i, min(i + chunk, P))
+        pbr_c, ex_c = rendering_equation(
+            base_color[sl], roughness[sl], normal[sl], viewdirs[sl],
+            incidents[sl], light_fn, vis.visibility[sl],
+            vis.incident_dirs[sl], vis.incident_areas[sl])
+        # Keep only the reductions the caller uses; per-sample extras at
+        # eval scale are exactly what blew the memory budget.
+        parts.append((jax.device_get(pbr_c), {
+            k: jax.device_get(v if v.ndim == 2 else v.mean(-2))
+            for k, v in ex_c.items() if k != "incident_dirs"}))
+    pbr = jnp.concatenate([p for p, _ in parts], axis=0)
+    keys = parts[0][1].keys()
+    extras = {k: jnp.concatenate([ex[k] for _, ex in parts], axis=0)
+              for k in keys}
+    # Restore the [P, S, ...] shape contract for the mean(-2) consumers.
+    for k in ("incident_lights", "local_incident_lights",
+              "global_incident_lights", "incident_visibility"):
+        extras[k] = extras[k][:, None]
+    return pbr, extras
+
+
 def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 view: ViewInputs, cfg: RasterConfig, bg_color: jnp.ndarray,
                 env: DirectLightParams, vis: VisibilityCache,
@@ -107,10 +148,9 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
     viewdirs = viewdirs / jnp.maximum(
         jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-12)
 
-    pbr, extras = rendering_equation(
+    pbr, extras = _shade_points(
         base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
-        G.get_incidents(params), lambda d: query_light(env, d),
-        vis.visibility, vis.incident_dirs, vis.incident_areas)
+        G.get_incidents(params), env, vis)
 
     xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
     depths = (xyz1 @ cam.world_view)[:, 2:3]

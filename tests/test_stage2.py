@@ -95,3 +95,19 @@ class TestStage2:
         hist = np.asarray(hist)
         assert hist[-10:].mean() < hist[:10].mean()
         assert not np.allclose(np.asarray(new_params.visibility_dc), 0.0)
+
+    def test_eval_shading_chunked_matches_unchunked(self, monkeypatch):
+        """The concrete eval path chunks rendering_equation over points
+        (OOM guard at S=384, reference neilf.py:96-108); outputs must be
+        bit-identical to the single-dispatch path."""
+        import relightable3dgaussian_tpu.models.render_neilf as RN
+        params, aux, env, vis, view = toy_setup()
+        ref = render_neilf(view, params, aux.active, CFG_EVAL, jnp.zeros(3),
+                           env, vis, is_training=False)
+        monkeypatch.setattr(RN, "_SHADE_CHUNK_SAMPLES", 64)
+        got = render_neilf(view, params, aux.active, CFG_EVAL, jnp.zeros(3),
+                           env, vis, is_training=False)
+        for k in ["pbr", "diffuse", "specular", "visibility", "lights",
+                  "local_lights", "global_lights", "diffuse_light"]:
+            np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                       atol=1e-6, err_msg=k)
