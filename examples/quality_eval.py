@@ -496,12 +496,14 @@ def main():
     cfg1 = dataclasses.replace(cfg, feature_dim=5)
     bg = jnp.ones(3)
 
-    def metrics_over_tests(render_key, env_state, label, gt_images=None):
+    def metrics_over_tests(render_key, env_state, label, gt_images=None,
+                           base_color_scale=None):
         ps, ss = [], []
         for i, cam in enumerate(test_cams):
             view = cam.view_inputs()
             res = render_neilf(view, params, aux.active, cfg, bg, env_state,
-                               vis, is_training=False)
+                               vis, is_training=False,
+                               base_color_scale=base_color_scale)
             img = np.asarray(res[render_key]).transpose(1, 2, 0)
             gt = (gt_images[i] if gt_images is not None
                   else np.asarray(view.image).transpose(1, 2, 0))
@@ -537,13 +539,17 @@ def main():
 
     # Albedo recovery with per-channel scale alignment
     # (eval_relighting_syn4.py:118-137 three-channel ratio protocol).
-    alb_pred, alb_gt, masks = [], [], []
+    alb_pred, alb_gt, alb_pred_lin, alb_gt_lin, masks = [], [], [], [], []
+    from relightable3dgaussian_tpu.utils.graphics import srgb_to_rgb
     for i, cam in enumerate(test_cams):
         view = cam.view_inputs()
         res = render_neilf(view, params, aux.active, cfg, bg, env, vis,
                            is_training=False)
-        alb_pred.append(np.asarray(res["base_color"]).transpose(1, 2, 0))
+        bc = np.asarray(res["base_color"]).transpose(1, 2, 0)
+        alb_pred.append(bc)
+        alb_pred_lin.append(np.asarray(srgb_to_rgb(jnp.asarray(bc))))
         alb_gt.append(srgb(gt_aux[("test", i)]["albedo"]))
+        alb_gt_lin.append(gt_aux[("test", i)]["albedo"])
         masks.append(gt_aux[("test", i)]["mask"].astype(np.float64))
     m = np.stack(masks)[..., None]
     pred = np.stack(alb_pred) * m
@@ -555,6 +561,16 @@ def main():
                                  np.broadcast_to(m, gt.shape))
     print(f"[eval] albedo (scale-aligned {report['albedo_scale']}): "
           f"PSNR {report['albedo_psnr']:.2f}")
+    # Linear-space scale for the relighting render: the reference applies a
+    # per-scene base_color_scale to the LINEAR base color when relighting
+    # (eval_relighting_syn4.py:95-105, gaussian_model.py:225).
+    pl = np.stack(alb_pred_lin) * m
+    gl = np.stack(alb_gt_lin) * m
+    scale_lin = (gl * pl * m).sum((0, 1, 2)) / np.maximum(
+        (pl * pl * m).sum((0, 1, 2)), 1e-9)
+    report["base_color_scale"] = [round(float(s), 4) for s in scale_lin]
+    print(f"[eval] relight base_color_scale (linear): "
+          f"{report['base_color_scale']}")
 
     # Relighting under envmap12 vs the analytic oracle (supersampled
     # re-trace under the new light, composited onto white).
@@ -566,7 +582,8 @@ def main():
         gt_relit.append(img4[..., :3] + (1.0 - a))
     env12 = lights.EnvLight(envmap=jnp.asarray(env_relight, jnp.float32))
     report["relight_psnr"], report["relight_ssim"] = metrics_over_tests(
-        "pbr", env12, "relight_envmap12", gt_images=gt_relit)
+        "pbr", env12, "relight_envmap12", gt_images=gt_relit,
+        base_color_scale=jnp.asarray(scale_lin, jnp.float32))
 
     # Recovered environment vs training envmap (up to diffuse ambiguity;
     # compare low-frequency irradiance, scale-aligned).
