@@ -470,6 +470,12 @@ def main():
                   white_background=True, eval_split=True)
     test_cams = scene.get_test_cameras()
 
+    def gen_index(cam):
+        """gt_aux is keyed by GENERATION index; the Scene loader shuffles
+        cameras (reference scene/__init__.py behavior), so map through the
+        image name (r_<i>) instead of the camera list position."""
+        return int(cam.image_name.rsplit("_", 1)[-1])
+
     data = np.load(os.path.join(out2, f"chkpnt{total2}.npz"))
     cap = data["params.xyz"].shape[0]
     tmpl, _ = G.create_from_pcd(jnp.zeros((1, 3)), jnp.full((1, 3), 0.5),
@@ -545,12 +551,13 @@ def main():
         view = cam.view_inputs()
         res = render_neilf(view, params, aux.active, cfg, bg, env, vis,
                            is_training=False)
+        gi = gen_index(cam)
         bc = np.asarray(res["base_color"]).transpose(1, 2, 0)
         alb_pred.append(bc)
         alb_pred_lin.append(np.asarray(srgb_to_rgb(jnp.asarray(bc))))
-        alb_gt.append(srgb(gt_aux[("test", i)]["albedo"]))
-        alb_gt_lin.append(gt_aux[("test", i)]["albedo"])
-        masks.append(gt_aux[("test", i)]["mask"].astype(np.float64))
+        alb_gt.append(srgb(gt_aux[("test", gi)]["albedo"]))
+        alb_gt_lin.append(gt_aux[("test", gi)]["albedo"])
+        masks.append(gt_aux[("test", gi)]["mask"].astype(np.float64))
     m = np.stack(masks)[..., None]
     pred = np.stack(alb_pred) * m
     gt = np.stack(alb_gt) * m
@@ -575,8 +582,8 @@ def main():
     # Relighting under envmap12 vs the analytic oracle (supersampled
     # re-trace under the new light, composited onto white).
     gt_relit = []
-    for i in range(len(test_cams)):
-        c2w = gt_aux[("test", i)]["c2w"]
+    for cam in test_cams:
+        c2w = gt_aux[("test", gen_index(cam))]["c2w"]
         img4, _ = trace_view(c2w, args.size, fovx, E_relight, grid_h)
         a = img4[..., 3:4]
         gt_relit.append(img4[..., :3] + (1.0 - a))
