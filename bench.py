@@ -192,7 +192,6 @@ def main():
     # ray occluded, candidate unions maximal). Also an S=384 trace
     # (relighting eval scale, readme.md:141-144).
     try:
-        import jax.numpy as jnp
         from relightable3dgaussian_tpu.ops.ray_trace import (
             build_bvh, trace_visibility, trace_visibility_adaptive)
         from relightable3dgaussian_tpu.utils.graphics import \

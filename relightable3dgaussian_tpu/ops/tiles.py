@@ -27,9 +27,10 @@ InclusiveSum → duplicateWithKeys → 64-bit RadixSort → identifyTileRanges):
     avoids materializing per-slot gaussian ids — a [B]-sized integer gather
     measured at ~15 ms/frame at bench scale. `rank_of` maps rank-space
     per-gaussian results back to storage order;
-  * the sorted keys are truncated to the cfg.buffer_multiple * P budget
-    (invalid keys sort last, so only overflowing scenes lose trailing-tile
-    entries — measured and reported);
+  * the cfg.buffer_multiple * P pair budget is enforced DEEPEST-FIRST: a
+    depth-rank threshold invalidates the globally deepest pairs before the
+    sort (soft far plane), never whole trailing tiles — measured and
+    reported via overflow_pairs;
   * `searchsorted` over a few thousand tile bounds yields tile ranges;
   * the variable per-tile ranges are re-chunked into fixed-size WORK ITEMS
     (tile, chunk-of-`cfg.chunk`-gaussians) for the jnp compositor, so it
