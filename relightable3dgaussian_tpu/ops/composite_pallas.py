@@ -42,10 +42,14 @@ from .tiles import Binning
 GEOM_FIELDS = 8
 
 
-def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm,
-            img_ref, count_ref, wsum_hbm, ft_ref,
-            data_vmem, wsum_vmem, sem_g, sem_w,
-            *, cfg: RasterConfig, with_weights: bool):
+def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm, *refs,
+            cfg: RasterConfig, with_weights: bool, with_walk: bool):
+    if with_walk:
+        (img_ref, count_ref, wsum_hbm, ft_ref,
+         data_vmem, wsum_vmem, sem_g, sem_w) = refs
+    else:
+        (img_ref, count_ref, wsum_hbm,
+         data_vmem, wsum_vmem, sem_g, sem_w) = refs
     del wsum_init_hbm  # aliased to wsum_hbm: pre-zeroed slots
     tile = cfg.tile
     tt = tile * tile
@@ -167,9 +171,12 @@ def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm,
 
     # Walk state for the single-pass backward (backward.cu:400-614 needs
     # final_T + the per-pixel contributor bound; we save final T per pixel
-    # and the chunk the tile walk stopped at).
-    ft_ref[0, :, 0:1] = T_final
-    ft_ref[0, :, 1:2] = jnp.full((tt, 1), 1.0) * c_final.astype(jnp.float32)
+    # and the chunk the tile walk stopped at). Skipped in the forward-only
+    # (non-differentiated) render path.
+    if with_walk:
+        ft_ref[0, :, 0:1] = T_final
+        ft_ref[0, :, 1:2] = (jnp.full((tt, 1), 1.0)
+                             * c_final.astype(jnp.float32))
 
     # Early exit can leave one prefetch in flight; drain it.
     @pl.when(c_final < n_chunks)
@@ -181,7 +188,8 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
                              conic: jnp.ndarray, opacity: jnp.ndarray,
                              attrs: jnp.ndarray, cfg: RasterConfig,
                              interpret: bool = False,
-                             with_weights: bool = True):
+                             with_weights: bool = True,
+                             with_walk: bool = True):
     """Forward-only tile compositing on the TPU.
 
     Returns (image [num_tiles, tt, A], weights [P], n_contrib
@@ -215,7 +223,25 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
     wsum_init = jnp.zeros((n_rows, 1, C), jnp.float32)
 
     kernel = functools.partial(_kernel, cfg=cfg,
-                               with_weights=with_weights)
+                               with_weights=with_weights,
+                               with_walk=with_walk)
+    out_specs = [
+        pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tt, 1), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((cfg.num_tiles, tt, A_pad), jnp.float32),
+        jax.ShapeDtypeStruct((cfg.num_tiles, tt, 1), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, C), jnp.float32),
+    ]
+    if with_walk:
+        out_specs.append(pl.BlockSpec((1, tt, 2), lambda t, *_: (t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((cfg.num_tiles, tt, 2), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
@@ -223,15 +249,7 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tt, 1), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, tt, 2), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_FIELDS + A_pad, C), jnp.float32),
             pltpu.VMEM((1, C), jnp.float32),
@@ -239,20 +257,16 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    img, count, wsum, ft = pl.pallas_call(
+    img, count, wsum, *ft = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((cfg.num_tiles, tt, A_pad), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.num_tiles, tt, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, 1, C), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.num_tiles, tt, 2), jnp.float32),
-        ],
+        out_shape=out_shape,
         # wsum_init (input 3 incl. the 2 prefetch args) aliases the wsum
         # output so slots skipped by early exit stay zero.
         input_output_aliases={3: 2},
         interpret=interpret,
     )(binning.tile_start, binning.tile_end, data, wsum_init)
+    ft = ft[0] if with_walk else None
 
     # Per-gaussian weights: only slots covered by some tile's walk are
     # defined (skipped slots stay zero via the aliased init). Accumulate in
@@ -279,7 +293,7 @@ def composite_fast(binning: Binning, mean2d, conic, opacity, attrs,
     (they agree numerically, so the VJP is exact)."""
     img, weights, count, _ = composite_pallas_forward(
         binning, mean2d, conic, opacity, attrs, cfg,
-        with_weights=cfg.compute_weights)
+        with_weights=cfg.compute_weights, with_walk=False)
     return img, weights, count
 
 

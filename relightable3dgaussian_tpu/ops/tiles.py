@@ -74,7 +74,8 @@ class Binning(NamedTuple):
 
 
 def auto_tier_plan(tiles_touched, dmax: int = 64,
-                   divs: tuple[int, ...] = (2, 8),
+                   divs: tuple[int, ...] = (2, 3, 4, 6, 8, 12, 16, 24,
+                                            32, 48, 64),
                    margin: float = 1.3) -> tuple[tuple[int, int], ...]:
     """Build a zero-overflow tier plan from measured per-gaussian footprints.
 
@@ -93,25 +94,39 @@ def auto_tier_plan(tiles_touched, dmax: int = 64,
     t = np.minimum(np.asarray(tiles_touched).reshape(-1), dmax)
     t = np.sort(t)[::-1]                      # descending footprint
     P = t.shape[0]
-    plan: list[tuple[int, int]] = []
-    lo = 0
-    for div in sorted(divs, reverse=True):    # widest tier first
-        M = min(max(8, -(-P // div)), P - lo)
-        seg_max = int(t[lo]) if lo < P else 0
-        cap = min(dmax, max(1, int(np.ceil(seg_max * margin)) + 1))
-        plan.append((cap, div))
-        lo += M
-    base_max = int(t[lo]) if lo < P else 0
-    cap0 = min(dmax, max(1, int(np.ceil(base_max * margin)) + 1))
-    plan.append((cap0, 1))
-    plan = plan[::-1]                         # narrow → wide
-    # merge equal/non-ascending caps (keep the cheaper, wider-capacity row)
-    merged: list[tuple[int, int]] = []
-    for cap, div in plan:
-        if merged and cap <= merged[-1][0]:
-            continue
-        merged.append((cap, div))
-    return tuple(merged)
+
+    def _cap(seg_max: int) -> int:
+        return min(dmax, max(1, int(np.ceil(seg_max * margin)) + 1))
+
+    def caps_for(kept: list[int]) -> tuple[list[int], int]:
+        """Per-tier caps for the EXACT row partition bin_gaussians derives
+        from these divisors (widest first, M = min(max(8, ceil(P/div)),
+        P-lo)). Caps must be recomputed whenever a tier is dropped: the
+        dropped tier's rows shift into narrower tiers, raising their
+        segment maxima."""
+        lo = 0
+        caps = []
+        for div in kept:                      # widest tier first
+            M = min(max(8, -(-P // div)), P - lo)
+            caps.append(_cap(int(t[lo]) if lo < P else 0))
+            lo += M
+        cap0 = _cap(int(t[lo]) if lo < P else 0)
+        return caps, cap0
+
+    kept = sorted(divs, reverse=True)
+    caps, cap0 = caps_for(kept)
+    while kept:
+        # A tier is redundant when its cap does not exceed the next
+        # narrower tier's cap (same row width for more sort/emit overhead).
+        nxt = caps[1:] + [cap0]
+        drop = next((i for i, (c, cn) in enumerate(zip(caps, nxt))
+                     if c <= cn), None)
+        if drop is None:
+            break
+        kept.pop(drop)
+        caps, cap0 = caps_for(kept)
+    plan = [(cap0, 1)] + [(c, d) for c, d in zip(caps[::-1], kept[::-1])]
+    return tuple(plan)
 
 
 def work_capacity(num_points: int, cfg: RasterConfig) -> int:
@@ -240,16 +255,18 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     # rows only ever truncate the smallest footprints (counted as spill).
     tiers = cfg.binning_tiers
     key_parts = []
+    row_parts = []   # gaussian ids, aligned with cnt_parts
+    cnt_parts = []   # emitted pair counts per row
     total = jnp.int32(0)
     spill = jnp.int32(0)
-    cnt = jnp.zeros((P,), jnp.int32)  # emitted pairs per gaussian id
     if len(tiers) == 1:
         all_ids = jnp.arange(P, dtype=jnp.int32)
         k0, c0 = _emit_tier_keys(prep, cfg, all_ids, tiers[0][0], emit,
                                  rank_of, opacity, P2)
         key_parts.append(k0)
         total = total + c0.sum()
-        cnt = c0.astype(jnp.int32)
+        row_parts.append(all_ids)
+        cnt_parts.append(c0.astype(jnp.int32))
     else:
         size_order = jnp.argsort(-emit).astype(jnp.int32)  # desc footprint
         lo = 0
@@ -262,7 +279,8 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
                                    rank_of, opacity, P2)
             key_parts.append(k)
             total = total + c.sum()
-            cnt = cnt.at[rows].set(c.astype(jnp.int32))
+            row_parts.append(rows)
+            cnt_parts.append(c.astype(jnp.int32))
             lo += M
         cap0 = tiers[0][0]
         rows0 = size_order[lo:]
@@ -272,7 +290,8 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
                                  opacity, P2)
         key_parts.append(k0)
         total = total + c0.sum()
-        cnt = cnt.at[rows0].set(c0.astype(jnp.int32))
+        row_parts.append(rows0)
+        cnt_parts.append(c0.astype(jnp.int32))
     key = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
 
     # Budget enforcement drops the DEEPEST gaussians' pairs first (true
@@ -284,7 +303,15 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     # drops (it resizes buffers, rasterizer_impl.cu:199-230); here overflow
     # is measured + reported and callers re-size buffer_multiple from it.
     if key.shape[0] > B:
-        cnt_by_rank = cnt[depth_order]                    # pairs per rank
+        # Pairs per DEPTH RANK, built with one scatter straight into rank
+        # space (rank_of[rows] is a permutation of [0, P)) — a
+        # storage-order intermediate would cost an extra scatter + gather,
+        # ~2.5 ms/frame at bench scale.
+        rank_rows = (rank_of[jnp.concatenate(row_parts)]
+                     if len(row_parts) > 1 else rank_of[row_parts[0]])
+        cnt_by_rank = jnp.zeros((P,), jnp.int32).at[rank_rows].set(
+            jnp.concatenate(cnt_parts) if len(cnt_parts) > 1
+            else cnt_parts[0], mode="drop", unique_indices=True)
         cum = jnp.cumsum(cnt_by_rank)
         # number of leading ranks whose pairs all fit
         n_keep = jnp.searchsorted(cum, jnp.int32(B), side="right")
