@@ -283,8 +283,8 @@ def _bwd_kernel(start_ref, end_ref, data_hbm, ggeom_init,
 def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
                        gattr_init, gimg_ref, ft_ref, ggeom_hbm, gattr_hbm,
                        data_vmem, grad_vmem, gattr_vmem,
-                       sem_g, sem_w, sem_x, sem_ww, sem_xw,
-                       *, cfg: RasterConfig):
+                       sem_g, sem_ww, sem_xw,
+                       *, cfg: RasterConfig, n_main: int):
     """ONE back-to-front chunk walk (the CUDA scheme, backward.cu:400-614).
 
     Uses the forward's saved walk state (per-pixel final T, per-tile stop
@@ -294,7 +294,18 @@ def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
     underflows have T < blend-cutoff anyway (their w, and every w after
     them, is zero), so clamping the divisor is safe. The suffix
     Σ_{k>i} w_k d_k accumulates directly along the walk, eliminating the
-    two-walk variant's whole phase A."""
+    two-walk variant's whole phase A.
+
+    Gradient rows are written with PLAIN stores, never read-modify-write:
+    only a tile's FIRST chunk row can be shared (with the preceding tiles
+    whose ranges end or start inside it), so that row's contribution goes
+    to a private per-tile row (`n_main + t`) folded in by the caller,
+    while every later row has this tile as its unique writer (tile ranges
+    partition the slot buffer, so exactly one tile crosses each row
+    boundary). Removing the RMW halves the gradient DMA traffic and drops
+    the load→add→store ordering chain that serialized the two-walk
+    variant (the atomicAdd-free analogue of backward.cu's per-pixel
+    atomics)."""
     del ggeom_init, gattr_init  # aliased outputs (pre-zeroed)
     tile = cfg.tile
     tt = tile * tile
@@ -321,28 +332,23 @@ def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
         return pltpu.make_async_copy(data_hbm.at[row0 + c],
                                      data_vmem.at[slot], sem_g.at[slot])
 
-    def gload_dma(slot, c):
-        return pltpu.make_async_copy(ggeom_hbm.at[row0 + c],
-                                     grad_vmem.at[slot], sem_w.at[slot])
-
-    def aload_dma(slot, c):
-        return pltpu.make_async_copy(gattr_hbm.at[row0 + c],
-                                     gattr_vmem.at[slot], sem_x.at[slot])
+    def out_row(c):
+        # chunk 0 → this tile's private row; later chunks are exclusive
+        return jnp.where(c == 0, n_main + t, row0 + c)
 
     def gstore_dma(slot, c):
         return pltpu.make_async_copy(grad_vmem.at[slot],
-                                     ggeom_hbm.at[row0 + c], sem_ww.at[slot])
+                                     ggeom_hbm.at[out_row(c)],
+                                     sem_ww.at[slot])
 
     def astore_dma(slot, c):
         return pltpu.make_async_copy(gattr_vmem.at[slot],
-                                     gattr_hbm.at[row0 + c], sem_xw.at[slot])
+                                     gattr_hbm.at[out_row(c)],
+                                     sem_xw.at[slot])
 
     @pl.when(nw > 0)
     def _():
-        sl = jax.lax.rem(nw - 1, 2)
-        data_dma(sl, nw - 1).start()
-        gload_dma(sl, nw - 1).start()
-        aload_dma(sl, nw - 1).start()
+        data_dma(jax.lax.rem(nw - 1, 2), nw - 1).start()
 
     def body(state):
         c, T_end, suffix = state
@@ -430,24 +436,17 @@ def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
         grad_rows = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, zeros1, zeros1], axis=0)
 
-        gload_dma(slot, c).wait()
-        aload_dma(slot, c).wait()
-        grad_vmem[slot] += grad_rows
-        gattr_vmem[slot] += g_attr
+        # This slot's previous store (chunk c+2, same parity) must drain
+        # before the staging buffers are overwritten.
+        @pl.when(c + 2 <= nw - 1)
+        def _():
+            gstore_dma(slot, c + 2).wait()
+            astore_dma(slot, c + 2).wait()
+
+        grad_vmem[slot] = grad_rows
+        gattr_vmem[slot] = g_attr
         gstore_dma(slot, c).start()
         astore_dma(slot, c).start()
-
-        # The other slot's previous store (chunk c+1) must drain before its
-        # next load may reuse the buffer.
-        @pl.when(c <= nw - 2)
-        def _():
-            gstore_dma(1 - slot, c + 1).wait()
-            astore_dma(1 - slot, c + 1).wait()
-
-        @pl.when(c >= 1)
-        def _():
-            gload_dma(1 - slot, c - 1).start()
-            aload_dma(1 - slot, c - 1).start()
 
         return c - 1, T_at[:, 0:1], suffix + rsum[:, 0:1]
 
@@ -458,7 +457,12 @@ def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
         cond, body,
         (nw - 1, final_T, jnp.zeros((tt, 1), jnp.float32)))
 
-    # chunk 0's stores (started on the final iteration) are still in flight
+    # The last two chunks' stores are still in flight.
+    @pl.when(nw >= 2)
+    def _():
+        gstore_dma(1, 1).wait()
+        astore_dma(1, 1).wait()
+
     @pl.when(nw > 0)
     def _():
         gstore_dma(0, 0).wait()
@@ -501,8 +505,11 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
         n_rows, C, GEOM_FIELDS + A_pad).transpose(0, 2, 1)
     g_img_pad = jnp.concatenate(
         [g_img, jnp.zeros((cfg.num_tiles, tt, A_pad - A))], axis=-1)
-    ggeom_init = jnp.zeros((n_rows, GRAD_FIELDS, C), jnp.float32)
-    gattr_init = jnp.zeros((n_rows, A_pad, C), jnp.float32)
+    # The single-walk kernel appends one private row per tile (its first —
+    # potentially shared — chunk row goes there; plain stores, no RMW).
+    out_rows = n_rows + (cfg.num_tiles if single else 0)
+    ggeom_init = jnp.zeros((out_rows, GRAD_FIELDS, C), jnp.float32)
+    gattr_init = jnp.zeros((out_rows, A_pad, C), jnp.float32)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -514,12 +521,15 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
     inputs = [binning.tile_start, binning.tile_end, data, ggeom_init,
               gattr_init, g_img_pad]
     if single:
-        kernel = functools.partial(_bwd_kernel_single, cfg=cfg)
+        kernel = functools.partial(_bwd_kernel_single, cfg=cfg,
+                                   n_main=n_rows)
         in_specs.append(pl.BlockSpec((1, tt, 2), lambda t, *_: (t, 0, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(walk_state)
+        sems = [pltpu.SemaphoreType.DMA((2,))] * 3
     else:
         kernel = functools.partial(_bwd_kernel, cfg=cfg)
+        sems = [pltpu.SemaphoreType.DMA((2,))] * 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
@@ -532,19 +542,14 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
             pltpu.VMEM((2, GEOM_FIELDS + A_pad, C), jnp.float32),
             pltpu.VMEM((2, GRAD_FIELDS, C), jnp.float32),
             pltpu.VMEM((2, A_pad, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + sems,
     )
     ggeom, gattr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows, GRAD_FIELDS, C), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, A_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, GRAD_FIELDS, C), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, A_pad, C), jnp.float32),
         ],
         # zero inits alias the outputs so skipped rows stay zero
         # (inputs incl. 2 prefetch args: ggeom_init=3, gattr_init=4)
@@ -552,17 +557,20 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
         interpret=interpret,
     )(*inputs)
 
-    # [rows, F, C] → per-slot rows [B, F] → segment-add per RANK, then map
-    # rank space back to storage order with [P] gathers.
+    if single:
+        # Fold each tile's private first-row contribution into its main
+        # row (several tiny tiles can share a first row → scatter-add).
+        row0 = binning.tile_start // C
+        ggeom = ggeom[:n_rows].at[row0].add(ggeom[n_rows:], mode="drop")
+        gattr = gattr[:n_rows].at[row0].add(gattr[n_rows:], mode="drop")
+
+    # [rows, F, C] → per-slot rows [B, 6+A] → ONE segment-add per RANK
+    # (fusing the geom + attr scatters halves index traversals), then map
+    # rank space back to storage order with one [P] gather.
     rank = binning.sorted_rank
     inv = binning.rank_of
-    ggeom_slots = ggeom.transpose(0, 2, 1).reshape(Bp, GRAD_FIELDS)[:B]
-    gattr_slots = gattr.transpose(0, 2, 1).reshape(Bp, A_pad)[:B, :A]
-    g_mean2d = jnp.zeros((P, 2)).at[rank].add(ggeom_slots[:, 0:2],
-                                              mode="drop")[inv]
-    g_conic = jnp.zeros((P, 3)).at[rank].add(ggeom_slots[:, 2:5],
-                                             mode="drop")[inv]
-    g_opacity = jnp.zeros((P,)).at[rank].add(ggeom_slots[:, 5],
-                                             mode="drop")[inv]
-    g_attrs = jnp.zeros((P, A)).at[rank].add(gattr_slots, mode="drop")[inv]
-    return g_mean2d, g_conic, g_opacity, g_attrs
+    slots = jnp.concatenate([ggeom[:, :6], gattr[:, :A]], axis=1)
+    slots = slots.transpose(0, 2, 1).reshape(Bp, 6 + A)[:B]
+    g_all = jnp.zeros((P, 6 + A)).at[rank].add(slots, mode="drop")[inv]
+    return (g_all[:, 0:2], g_all[:, 2:5], g_all[:, 5],
+            g_all[:, 6:6 + A])

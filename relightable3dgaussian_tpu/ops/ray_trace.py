@@ -334,72 +334,107 @@ _KCH = 4                         # quads fetched per kernel grid step
 
 
 def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
-                       *, kq: int, qs: int):
-    """Pallas pairwise evaluation: grid (block, quad-chunk).
+                       *, kq: int, qs: int, n_sentinel: int):
+    """Pallas pairwise evaluation: grid (block,), inner loop over
+    quad-chunks with double-buffered DMA.
 
-    Per step: DMA `_KCH` selected quads' feature tiles from HBM on demand
-    (sentinel slots fetch the zero quad; tiles are [F, QUAD*cluster_size] —
-    128 lanes, the DMA alignment unit), evaluate the [B, _KCH*qs] pairwise
-    tile entirely in VMEM, and accumulate per-ray log-transmittance +
-    contributor count into the revisited output block. Once EVERY ray in
-    the block has T < 0.9 (visibility 0 regardless of deeper geometry —
-    the product only decreases), remaining chunks skip both the fetch and
-    the compute: the same early-termination the CUDA per-ray DFS gets from
-    its T < 0.9 break (trace.cu:232-254), block-wide."""
+    Per step: evaluate the [B, _KCH*qs] pairwise tile resident in one VMEM
+    buffer while the NEXT step's `_KCH` selected quad feature tiles stream
+    into the other (tiles are [F, QUAD*cluster_size] — 128 lanes, the DMA
+    alignment unit), accumulating per-ray log-transmittance + contributor
+    count in loop carries; the output block is written once. A step is
+    skipped — fetch and compute — when either (a) EVERY ray in the block
+    already has T < 0.9 (visibility 0 regardless of deeper geometry; the
+    product only decreases: the early-termination the CUDA per-ray DFS
+    gets from its T < 0.9 break, trace.cu:232-254, block-wide), or (b) the
+    step's first quad is the SENTINEL (selection sorts valid quads first,
+    so every later quad is sentinel too — short candidate lists finish
+    early)."""
     i = pl.program_id(0)
-    g = pl.program_id(1)
+    n_steps = kq // _KCH
 
-    @pl.when(g == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    alive = jnp.max(out_ref[0, :, 0]) >= _LOG_DEAD
-
-    @pl.when((g == 0) | alive)
-    def _():
-        def dma(k):
+    def dma(slot, g):
+        def one(k):
             qid = sel_ref[i * kq + g * _KCH + k]
             return pltpu.make_async_copy(
-                feat_hbm.at[qid], gau_vmem.at[:, pl.ds(k * qs, qs)],
-                sem.at[k])
+                feat_hbm.at[qid], gau_vmem.at[slot, :, pl.ds(k * qs, qs)],
+                sem.at[slot, k])
+        return one
 
+    for k in range(_KCH):
+        dma(0, 0)(k).start()
+
+    rays = rays_ref[0]                       # [B, 8]
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+
+    def body(g, carry):
+        log_T, cnt, consumed = carry
+        # Step g's buffer is in flight iff every prior step ran (consumed
+        # == g); aliveness is monotone so a dead block stays dead.
+        alive = (g == 0) | ((consumed == g)
+                            & (jnp.max(log_T) >= _LOG_DEAD)
+                            & (sel_ref[i * kq + g * _KCH] < n_sentinel))
+
+        def run():
+            # Prefetch step g+1 into the other buffer, then consume step g.
+            if_next = (g + 1 < n_steps)
+
+            @pl.when(if_next)
+            def _():
+                for k in range(_KCH):
+                    dma((g + 1) % 2, g + 1)(k).start()
+
+            for k in range(_KCH):
+                dma(g % 2, g)(k).wait()
+
+            w = gau_vmem[g % 2]                  # [F, _KCH*qs]
+            gx, gy, gz = w[0:1], w[1:2], w[2:3]  # [1, N]
+            C1, C2, C3 = w[3:4], w[4:5], w[5:6]
+            C4, C5, C6 = w[6:7], w[7:8], w[8:9]
+            op = w[9:10]
+            nx, ny, nz = w[10:11], w[11:12], w[12:13]
+
+            mux, muy, muz = gx - ox, gy - oy, gz - oz      # [B, N]
+            qdx = C1 * dx + C2 * dy + C3 * dz
+            qdy = C2 * dx + C4 * dy + C5 * dz
+            qdz = C3 * dx + C5 * dy + C6 * dz
+            t_num = mux * qdx + muy * qdy + muz * qdz
+            t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz, 1e-12)
+            t = t_num / t_den
+            px = mux - t * dx
+            py = muy - t * dy
+            pz = muz - t * dz
+            power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
+                            + py * (C2 * px + C4 * py + C5 * pz)
+                            + pz * (C3 * px + C5 * py + C6 * pz))
+            ndotd = nx * dx + ny * dy + nz * dz
+            ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
+                  & (t >= 0.01) & (power <= 0.0))
+            alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
+            d_log = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
+                axis=1, keepdims=True)                      # [B, 1]
+            d_cnt = ok.sum(axis=1, keepdims=True).astype(jnp.float32)
+            return log_T + d_log, cnt + d_cnt, consumed + 1
+
+        return jax.lax.cond(alive, run, lambda: (log_T, cnt, consumed))
+
+    tt = rays.shape[0]
+    log_T, cnt, consumed = jax.lax.fori_loop(
+        0, n_steps, body,
+        (jnp.zeros((tt, 1), jnp.float32), jnp.zeros((tt, 1), jnp.float32),
+         jnp.int32(0)))
+
+    # A block that died at step s < n_steps-1 started step s+1's prefetch
+    # before consuming step s; drain it.
+    @pl.when(consumed < n_steps)
+    def _():
         for k in range(_KCH):
-            dma(k).start()
-        for k in range(_KCH):
-            dma(k).wait()
+            dma(consumed % 2, consumed)(k).wait()
 
-        rays = rays_ref[0]                       # [B, 8]
-        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-        w = gau_vmem[...]                        # [F, _KCH*cs]
-        gx, gy, gz = w[0:1], w[1:2], w[2:3]      # [1, N]
-        C1, C2, C3 = w[3:4], w[4:5], w[5:6]
-        C4, C5, C6 = w[6:7], w[7:8], w[8:9]
-        op = w[9:10]
-        nx, ny, nz = w[10:11], w[11:12], w[12:13]
-
-        mux, muy, muz = gx - ox, gy - oy, gz - oz          # [B, N]
-        qdx = C1 * dx + C2 * dy + C3 * dz
-        qdy = C2 * dx + C4 * dy + C5 * dz
-        qdz = C3 * dx + C5 * dy + C6 * dz
-        t_num = mux * qdx + muy * qdy + muz * qdz
-        t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz, 1e-12)
-        t = t_num / t_den
-        px = mux - t * dx
-        py = muy - t * dy
-        pz = muz - t * dz
-        power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
-                        + py * (C2 * px + C4 * py + C5 * pz)
-                        + pz * (C3 * px + C5 * py + C6 * pz))
-        ndotd = nx * dx + ny * dy + nz * dz
-        ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
-              & (t >= 0.01) & (power <= 0.0))
-        alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
-        log_T = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
-            axis=1, keepdims=True)                          # [B, 1]
-        cnt = ok.sum(axis=1, keepdims=True).astype(jnp.float32)
-        out_ref[0, :, 0:1] += log_T
-        out_ref[0, :, 1:2] += cnt
+    out_ref[0, :, 0:1] = log_T
+    out_ref[0, :, 1:2] = cnt
+    out_ref[0, :, 2:] = jnp.zeros((tt, 6), jnp.float32)
 
 
 # Scalar-prefetch operands live in SMEM (1 MiB total); cap each dispatch's
@@ -427,21 +462,22 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
         axis=-1).reshape(nb, B, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, Kq // _KCH),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
+            pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FEAT_DIM, _KCH * qs), jnp.float32),
-            pltpu.SemaphoreType.DMA((_KCH,)),
+            pltpu.VMEM((2, FEAT_DIM, _KCH * qs), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _KCH)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_trace_eval_kernel, kq=Kq, qs=qs),
+        functools.partial(_trace_eval_kernel, kq=Kq, qs=qs,
+                          n_sentinel=bvh.feat.shape[0] - 1),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         interpret=interpret,
