@@ -43,7 +43,8 @@ GEOM_FIELDS = 8
 
 
 def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm, *refs,
-            cfg: RasterConfig, with_weights: bool, with_walk: bool):
+            cfg: RasterConfig, with_weights: bool, with_walk: bool,
+            n_main: int):
     if with_walk:
         (img_ref, count_ref, wsum_hbm, ft_ref,
          data_vmem, wsum_vmem, sem_g, sem_w) = refs
@@ -90,15 +91,22 @@ def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm, *refs,
     def _():
         fetch(jnp.int32(0))
 
+    def wstore(c):
+        """Per-slot weight-row store for chunk c. A tile's FIRST chunk row
+        can be shared with preceding tiles, so it goes to a private
+        per-tile row (n_main + t) folded in by the caller; later rows have
+        this tile as unique writer — plain stores, no read-modify-write."""
+        slot = jax.lax.rem(c, 2)
+        row_w = jnp.where(c == 0, n_main + t, row0 + c)
+        return pltpu.make_async_copy(wsum_vmem.at[slot], wsum_hbm.at[row_w],
+                                     sem_w.at[slot])
+
     def body(state):
         c, T = state
         row = row0 + c
         slot = jax.lax.rem(c, 2)
         slot0 = row * C
 
-        if with_weights:
-            cp_w = pltpu.make_async_copy(wsum_hbm.at[row], wsum_vmem, sem_w)
-            cp_w.start()
         wait_fetch(c)
 
         @pl.when(c + 1 < n_chunks)
@@ -151,13 +159,14 @@ def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm, *refs,
             axis=1, keepdims=True)[None]          # [1, tt, 1]
 
         if with_weights:
-            # Accumulate per-slot weights (boundary chunk rows are shared
-            # with the neighbouring tile, hence read-modify-write).
-            cp_w.wait()
-            wsum_vmem[...] += w.sum(axis=0, keepdims=True)  # [1, C]
-            cp_wo = pltpu.make_async_copy(wsum_vmem, wsum_hbm.at[row], sem_w)
-            cp_wo.start()
-            cp_wo.wait()
+            # This slot's previous store (chunk c-2) must drain before the
+            # staging row is overwritten.
+            @pl.when(c >= 2)
+            def _():
+                wstore(c - 2).wait()
+
+            wsum_vmem[slot] = w.sum(axis=0, keepdims=True)  # [1, C]
+            wstore(c).start()
 
         T = T * cum[:, C - 1:C]                   # [tt, 1]
         return c + 1, T
@@ -178,10 +187,20 @@ def _kernel(start_ref, end_ref, data_hbm, wsum_init_hbm, *refs,
         ft_ref[0, :, 1:2] = (jnp.full((tt, 1), 1.0)
                              * c_final.astype(jnp.float32))
 
-    # Early exit can leave one prefetch in flight; drain it.
+    # Early exit can leave one prefetch in flight; drain it. The last two
+    # consumed chunks' weight stores are also still outstanding.
     @pl.when(c_final < n_chunks)
     def _():
         wait_fetch(c_final)
+
+    if with_weights:
+        @pl.when(c_final >= 1)
+        def _():
+            wstore(c_final - 1).wait()
+
+        @pl.when(c_final >= 2)
+        def _():
+            wstore(c_final - 2).wait()
 
 
 def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
@@ -220,11 +239,15 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
          jnp.zeros((Bp - B,), binning.sorted_rank.dtype)], axis=0)
     data = table_ds[rank_pad].reshape(
         n_rows, C, GEOM_FIELDS + A_pad).transpose(0, 2, 1)
-    wsum_init = jnp.zeros((n_rows, 1, C), jnp.float32)
+    # One private weight row per tile: a tile's first chunk row may be
+    # shared with preceding tiles, so its weight sums go to row n_rows + t
+    # (plain stores in the kernel, no RMW) and are folded in afterwards.
+    w_rows = n_rows + (cfg.num_tiles if with_weights else 0)
+    wsum_init = jnp.zeros((w_rows, 1, C), jnp.float32)
 
     kernel = functools.partial(_kernel, cfg=cfg,
                                with_weights=with_weights,
-                               with_walk=with_walk)
+                               with_walk=with_walk, n_main=n_rows)
     out_specs = [
         pl.BlockSpec((1, tt, A_pad), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -235,7 +258,7 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
     out_shape = [
         jax.ShapeDtypeStruct((cfg.num_tiles, tt, A_pad), jnp.float32),
         jax.ShapeDtypeStruct((cfg.num_tiles, tt, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, 1, C), jnp.float32),
+        jax.ShapeDtypeStruct((w_rows, 1, C), jnp.float32),
     ]
     if with_walk:
         out_specs.append(pl.BlockSpec((1, tt, 2), lambda t, *_: (t, 0, 0),
@@ -252,9 +275,9 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_FIELDS + A_pad, C), jnp.float32),
-            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((2, 1, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     img, count, wsum, *ft = pl.pallas_call(
@@ -272,6 +295,10 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
     # defined (skipped slots stay zero via the aliased init). Accumulate in
     # rank space, then map back to storage order with one [P] gather.
     if with_weights:
+        # Fold each tile's private first-row sums into its main row
+        # (several tiny tiles can share a first row → scatter-add).
+        row0 = binning.tile_start // C
+        wsum = wsum[:n_rows].at[row0].add(wsum[n_rows:], mode="drop")
         wsum_flat = wsum.reshape(-1)[:B]
         weights_ds = jnp.zeros((P,), jnp.float32).at[
             binning.sorted_rank].add(wsum_flat, mode="drop")
