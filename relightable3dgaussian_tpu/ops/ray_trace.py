@@ -352,6 +352,14 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
     early)."""
     i = pl.program_id(0)
     n_steps = kq // _KCH
+    B = rays_ref.shape[1]
+    # Sub-block rows: death is spatially coherent under the (direction,
+    # origin) ray sort, so quarters of the block stop computing
+    # independently long before the whole block is dead. Sub-block height
+    # must keep the f32 sublane tiling (multiples of 8).
+    QB = B // 4 if B % 32 == 0 else B
+
+    out_ref[...] = jnp.zeros_like(out_ref)
 
     def dma(slot, g):
         def one(k):
@@ -365,22 +373,19 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
         dma(0, 0)(k).start()
 
     rays = rays_ref[0]                       # [B, 8]
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
 
-    def body(g, carry):
-        log_T, cnt, consumed = carry
+    def body(g, consumed):
         # Step g's buffer is in flight iff every prior step ran (consumed
-        # == g); aliveness is monotone so a dead block stays dead.
+        # == g); aliveness is monotone so a dead block stays dead. A step
+        # whose first quad is the sentinel has no further candidates
+        # (selection sorts valid quads first).
         alive = (g == 0) | ((consumed == g)
-                            & (jnp.max(log_T) >= _LOG_DEAD)
+                            & (jnp.max(out_ref[0, :, 0]) >= _LOG_DEAD)
                             & (sel_ref[i * kq + g * _KCH] < n_sentinel))
 
         def run():
             # Prefetch step g+1 into the other buffer, then consume step g.
-            if_next = (g + 1 < n_steps)
-
-            @pl.when(if_next)
+            @pl.when(g + 1 < n_steps)
             def _():
                 for k in range(_KCH):
                     dma((g + 1) % 2, g + 1)(k).start()
@@ -395,35 +400,46 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
             op = w[9:10]
             nx, ny, nz = w[10:11], w[11:12], w[12:13]
 
-            mux, muy, muz = gx - ox, gy - oy, gz - oz      # [B, N]
-            qdx = C1 * dx + C2 * dy + C3 * dz
-            qdy = C2 * dx + C4 * dy + C5 * dz
-            qdz = C3 * dx + C5 * dy + C6 * dz
-            t_num = mux * qdx + muy * qdy + muz * qdz
-            t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz, 1e-12)
-            t = t_num / t_den
-            px = mux - t * dx
-            py = muy - t * dy
-            pz = muz - t * dz
-            power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
-                            + py * (C2 * px + C4 * py + C5 * pz)
-                            + pz * (C3 * px + C5 * py + C6 * pz))
-            ndotd = nx * dx + ny * dy + nz * dz
-            ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
-                  & (t >= 0.01) & (power <= 0.0))
-            alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
-            d_log = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
-                axis=1, keepdims=True)                      # [B, 1]
-            d_cnt = ok.sum(axis=1, keepdims=True).astype(jnp.float32)
-            return log_T + d_log, cnt + d_cnt, consumed + 1
+            for q in range(0, B, QB):
+                sub_alive = (g == 0) | (
+                    jnp.max(out_ref[0, q:q + QB, 0]) >= _LOG_DEAD)
 
-        return jax.lax.cond(alive, run, lambda: (log_T, cnt, consumed))
+                @pl.when(sub_alive)
+                def _(q=q):
+                    ox, oy = rays[q:q + QB, 0:1], rays[q:q + QB, 1:2]
+                    oz = rays[q:q + QB, 2:3]
+                    dx, dy = rays[q:q + QB, 3:4], rays[q:q + QB, 4:5]
+                    dz = rays[q:q + QB, 5:6]
+                    mux, muy, muz = gx - ox, gy - oy, gz - oz  # [QB, N]
+                    qdx = C1 * dx + C2 * dy + C3 * dz
+                    qdy = C2 * dx + C4 * dy + C5 * dz
+                    qdz = C3 * dx + C5 * dy + C6 * dz
+                    t_num = mux * qdx + muy * qdy + muz * qdz
+                    t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz,
+                                        1e-12)
+                    t = t_num / t_den
+                    px = mux - t * dx
+                    py = muy - t * dy
+                    pz = muz - t * dz
+                    power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
+                                    + py * (C2 * px + C4 * py + C5 * pz)
+                                    + pz * (C3 * px + C5 * py + C6 * pz))
+                    ndotd = nx * dx + ny * dy + nz * dz
+                    ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
+                          & (t >= 0.01) & (power <= 0.0))
+                    alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
+                    d_log = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
+                        axis=1, keepdims=True)              # [QB, 1]
+                    d_cnt = ok.sum(axis=1, keepdims=True).astype(
+                        jnp.float32)
+                    out_ref[0, q:q + QB, 0:1] += d_log
+                    out_ref[0, q:q + QB, 1:2] += d_cnt
 
-    tt = rays.shape[0]
-    log_T, cnt, consumed = jax.lax.fori_loop(
-        0, n_steps, body,
-        (jnp.zeros((tt, 1), jnp.float32), jnp.zeros((tt, 1), jnp.float32),
-         jnp.int32(0)))
+            return consumed + 1
+
+        return jax.lax.cond(alive, run, lambda: consumed)
+
+    consumed = jax.lax.fori_loop(0, n_steps, body, jnp.int32(0))
 
     # A block that died at step s < n_steps-1 started step s+1's prefetch
     # before consuming step s; drain it.
@@ -431,10 +447,6 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
     def _():
         for k in range(_KCH):
             dma(consumed % 2, consumed)(k).wait()
-
-    out_ref[0, :, 0:1] = log_T
-    out_ref[0, :, 1:2] = cnt
-    out_ref[0, :, 2:] = jnp.zeros((tt, 6), jnp.float32)
 
 
 # Scalar-prefetch operands live in SMEM (1 MiB total); cap each dispatch's
