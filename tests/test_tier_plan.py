@@ -126,3 +126,41 @@ def test_alpha_aware_rect_is_output_identical(scene):
     img_ref = tiles_to_image(out_ref.image, cfg)
     np.testing.assert_allclose(np.asarray(out_a.color),
                                np.asarray(img_ref[:3]), atol=1e-5)
+
+
+def test_auto_plan_zero_spill_property():
+    """auto_tier_plan must have zero spill on the measured footprints for
+    ANY distribution — the cap-merge must recompute caps against the exact
+    row partition bin_gaussians derives from the surviving divisors
+    (regression: merged tiers once shifted rows onto smaller caps)."""
+    from relightable3dgaussian_tpu.ops.tiles import auto_tier_plan
+
+    rng = np.random.default_rng(0)
+    dmax = 64
+    dists = [
+        rng.integers(1, 65, size=500),                      # uniform
+        np.minimum(rng.geometric(0.2, size=2000), 64),      # heavy head
+        np.full(300, 7),                                    # constant
+        np.concatenate([np.full(990, 1), np.full(10, 64)]),  # bimodal
+        rng.integers(1, 65, size=37),                       # tiny P
+        np.minimum((rng.pareto(1.0, size=5000) * 3 + 1), 64).astype(int),
+    ]
+    for t in dists:
+        plan = auto_tier_plan(t, dmax)
+        assert plan[0][1] == 1
+        caps = [c for c, _ in plan]
+        assert caps == sorted(caps) and len(set(caps)) == len(caps)
+        # simulate bin_gaussians' routing: descending footprints, widest
+        # tier first, M = min(max(8, ceil(P/div)), P-lo)
+        ts = np.sort(np.minimum(t, dmax))[::-1]
+        P = len(ts)
+        lo = 0
+        spill = 0
+        for cap, div in reversed(plan[1:]):
+            M = min(max(8, -(-P // div)), P - lo)
+            seg = ts[lo:lo + M]
+            spill += int(np.maximum(seg - cap, 0).sum())
+            lo += M
+        seg = ts[lo:]
+        spill += int(np.maximum(seg - plan[0][0], 0).sum())
+        assert spill == 0, (spill, plan)
