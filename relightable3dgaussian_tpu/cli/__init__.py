@@ -13,6 +13,27 @@ if _os.environ.get("R3DG_COMPILE_CACHE") != "0":
     _enable()
 
 
+def auto_plan_config(cfg, params, active, cameras, args=None):
+    """Right-size the binning (tier plan + pair budget + depth cap) from
+    measured footprints of a few probe views — the same auto-sizing the
+    trainer and benchmarks use, so eval/relighting/GUI renders get the
+    tiered-sort speedup too (the CUDA reference sizes these buffers
+    dynamically per call, rasterizer_impl.cu:199-230). `--no_auto_plan`
+    restores the dense default; a user-pinned --buffer_multiple /
+    --max_chunks_per_tile is preserved."""
+    if args is not None and getattr(args, "no_auto_plan", False):
+        return cfg
+    from ..train.autotune import plan_raster_config
+    probes = [c.view_inputs() for c in cameras[:: max(1, len(cameras) // 3)]]
+    new_cfg, _ = plan_raster_config(
+        cfg, params, active, probes,
+        keep_buffer=bool(args is not None
+                         and getattr(args, "buffer_multiple", 0)),
+        fit_depth_cap=not (args is not None
+                           and getattr(args, "max_chunks_per_tile", 0)))
+    return new_cfg
+
+
 def sharded_trace_from_args(args):
     """Ray-sharded visibility tracer for `--n_devices N` CLIs (N > 1), else
     None (single-device adaptive tracer). SURVEY §2.3 item 2: the

@@ -94,6 +94,8 @@ def main(argv=None):
     parser.add_argument("-c", "--checkpoint", default=None)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--no_auto_plan", action="store_true",
+                        help="disable measured binning auto-sizing")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="shard visibility-trace rays over N devices")
     args = get_combined_args(parser, argv)
@@ -139,16 +141,21 @@ def main(argv=None):
         if not cams:
             continue
         import jax
+
+        from . import auto_plan_config
         if is_pbr:
             cfg = raster_config(cams, EVAL_FEATURE_DIM,
-                                model_cfg.white_background)
+                                model_cfg.white_background, args=args)
+            cfg = auto_plan_config(cfg, params, active, cams, args)
 
             @jax.jit
             def _render_view(view):
                 return render_neilf(view, params, active, cfg, bg, env, vis,
                                     is_training=False)
         else:
-            cfg = raster_config(cams, 5, model_cfg.white_background)
+            cfg = raster_config(cams, 5, model_cfg.white_background,
+                                args=args)
+            cfg = auto_plan_config(cfg, params, active, cams, args)
 
             @jax.jit
             def _render_view(view):

@@ -53,6 +53,8 @@ def main(argv=None):
     parser.add_argument("-c", "--checkpoint", default=None)
     parser.add_argument("-e", "--envmap_dir", default=".")
     parser.add_argument("-bg", "--background_color", type=float, default=1.0)
+    parser.add_argument("--no_auto_plan", action="store_true",
+                        help="disable measured binning auto-sizing")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="shard visibility-trace rays over N devices")
     args = get_combined_args(parser, argv)
@@ -107,13 +109,15 @@ def main(argv=None):
             gt = np.moveaxis(rgba[..., :3], -1, 0)
             mask = np.moveaxis(rgba[..., 3:], -1, 0)
             H, W = rgba.shape[:2]
-            if cfg is None:
-                cfg = RasterConfig(height=H, width=W,
-                                   feature_dim=EVAL_FEATURE_DIM, sh_degree=3)
             fovy = focal2fov(fov2focal(fovx, W), H)
             R, T = _blender_pose(frame)
             cam = Camera(uid=0, R=R, T=T, fovx=fovx, fovy=fovy, width=W,
                          height=H)
+            if cfg is None:
+                from . import auto_plan_config
+                cfg = RasterConfig(height=H, width=W,
+                                   feature_dim=EVAL_FEATURE_DIM, sh_degree=3)
+                cfg = auto_plan_config(cfg, params, active, [cam], args)
             res = render_neilf(cam.view_inputs(), params, active, cfg, bg,
                                env, vis, is_training=False,
                                base_color_scale=scale)

@@ -87,6 +87,8 @@ def render_points(cam_params, params, active, height, width, bg):
 def main(argv=None):
     parser = ArgumentParser(description="Composition and relighting")
     parser.add_argument("-co", "--config", required=True)
+    parser.add_argument("--no_auto_plan", action="store_true",
+                        help="disable measured binning auto-sizing")
     parser.add_argument("-e", "--envmap_path", default=None)
     parser.add_argument("-bg", "--background_color", type=float, default=None)
     parser.add_argument("--sample_num", type=int, default=64)
@@ -126,11 +128,16 @@ def main(argv=None):
     fovy = focal2fov(fov2focal(fovx, W), H)
     cfg = RasterConfig(height=H, width=W, feature_dim=EVAL_FEATURE_DIM,
                        sh_degree=3)
+    planned = False
 
     for idx, w2c_flat in traject["trajectory"].items():
         w2c = np.array(w2c_flat, np.float32).reshape(4, 4)
         cam = Camera(uid=0, R=w2c[:3, :3].T, T=w2c[:3, 3], fovx=fovx,
                      fovy=fovy, width=W, height=H)
+        if not planned:
+            from . import auto_plan_config
+            cfg = auto_plan_config(cfg, params, active, [cam], args)
+            planned = True
         transform = None
         if light_dict is not None:
             transform = jnp.asarray(
