@@ -102,33 +102,44 @@ def main():
         def body(_, oi):
             o, i = oi
             return None, rt._cull_chunk(bvh, o, i, Kq, max_supers)
-        _, (sel, overflow) = jax.lax.scan(body, None, (OB, IB))
-        return sel, overflow
+        _, (sel, qbits, overflow) = jax.lax.scan(body, None, (OB, IB))
+        return sel, qbits, overflow
 
     t0 = time.time()
-    sel, ovf = cull_all(OB, IB)
+    sel, qbits, ovf = cull_all(OB, IB)
     jax.block_until_ready(sel)
     print(f"cull warm: {time.time()-t0:.2f}s", flush=True)
     t0 = time.time()
-    sel, ovf = cull_all(OB, IB)
+    sel, qbits, ovf = cull_all(OB, IB)
     jax.block_until_ready(sel)
     dt_cull = time.time() - t0
     print(f"cull steady: {dt_cull:.2f}s ({dt_cull/dt_full*100:.0f}% of full)",
           flush=True)
 
     sel_flat = sel.reshape(-1, Kq)
-    t0 = time.time()
-    log_T, cnt = rt._eval_blocks_pallas(bvh, ro_s[:trim], rd_s[:trim],
-                                        sel_flat, B)
-    jax.block_until_ready(log_T)
-    print(f"eval warm: {time.time()-t0:.2f}s", flush=True)
-    t0 = time.time()
-    log_T, cnt = rt._eval_blocks_pallas(bvh, ro_s[:trim], rd_s[:trim],
-                                        sel_flat, B)
-    jax.block_until_ready(log_T)
-    dt_eval = time.time() - t0
-    print(f"eval steady: {dt_eval:.2f}s ({dt_eval/dt_full*100:.0f}% of full)",
+    qb_flat = qbits.reshape(-1, Kq)
+    # quarter-mask sparsity: fraction of (quarter, valid-quad) tiles hit
+    valid = np.asarray(sel_flat) < bvh.feat.shape[0] - 1
+    bits = np.unpackbits(
+        np.asarray(qb_flat).astype(np.uint8)[..., None], axis=-1,
+        count=4, bitorder="little").sum(-1)
+    print(f"quarter-mask: valid quads/block {valid.sum(1).mean():.1f}/{Kq},"
+          f" hit quarters/valid-quad {bits[valid].mean():.2f}/4",
           flush=True)
+
+    for label, qm in (("masked", qb_flat), ("unmasked", None)):
+        t0 = time.time()
+        log_T, cnt = rt._eval_blocks_pallas(bvh, ro_s[:trim], rd_s[:trim],
+                                            sel_flat, B, qmask=qm)
+        jax.block_until_ready(log_T)
+        print(f"eval[{label}] warm: {time.time()-t0:.2f}s", flush=True)
+        t0 = time.time()
+        log_T, cnt = rt._eval_blocks_pallas(bvh, ro_s[:trim], rd_s[:trim],
+                                            sel_flat, B, qmask=qm)
+        jax.block_until_ready(log_T)
+        dt_eval = time.time() - t0
+        print(f"eval[{label}] steady: {dt_eval:.2f}s "
+              f"({dt_eval/dt_full*100:.0f}% of full)", flush=True)
 
     # cull sub-phases: level-1 only
     @jax.jit

@@ -200,7 +200,8 @@ def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
 
     cand_key [..., M] candidate ids (sentinel = invalid), counts [..., M]
     int32 per-candidate ray-hit counts. Returns (sel_ids [..., k],
-    valid [..., k], sel_mask [..., M]).
+    valid [..., k], sel_mask [..., M], src_idx [..., k] positions of the
+    selected candidates along the M axis, 0 where invalid).
 
     Selection sorts (count, position) packed keys instead of lax.top_k —
     top_k's O(M*k) compare chain is the dominant cost at M~1k, k~100,
@@ -218,20 +219,27 @@ def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
     # selects exactly the valid candidates); packed keys are unique
     thr = jnp.maximum(top[..., k - 1:k], 0)
     sel_mask = packed >= thr
-    return sel_ids, valid, sel_mask
+    return sel_ids, valid, sel_mask, top_idx
 
 
 def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
     """Cull a chunk of ray blocks. o/inv_d: [G, B, 3] (sorted, coherent
     blocks). Returns (sel_q [G, kq] QUAD ids with sentinel n_quads = the
-    zero quad, overflow [G, B]).
+    zero quad, qbits [G, kq] per-quarter hit bitmasks, overflow [G, B]).
 
     Per block: two-level AABB culling with block-union candidate selection
     by ray-hit count (replaces the CUDA LBVH's per-ray DFS,
     bvh/src/trace.cu:196-287) — every step a dense vectorized op. AABB
     tests stay at cluster granularity; selection/fetch works on QUADs of 4
     Morton-consecutive clusters (one aligned feature tile each), ranked by
-    the summed cluster hit counts."""
+    the summed cluster hit counts.
+
+    `qbits` bit j of a selected quad = some ray in QUARTER j of the block
+    slab-hits one of the quad's clusters. The evaluators skip (quarter,
+    quad) work where the bit is clear — refining the block-level AABB cut
+    toward the CUDA tracer's per-ray cut (a ray there never tests the
+    gaussians of an AABB it misses, bvh/src/trace.cu:196-287). Blocks not
+    divisible into f32-tileable quarters use one quarter (bit 0 only)."""
     G_, B = o.shape[:2]
     n_super = bvh.super_lo.shape[0]
     n_clusters = bvh.cluster_lo.shape[0]
@@ -244,7 +252,8 @@ def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
     s_cnt = s_hit.sum(1)                                        # [G, S]
     s_ids = jnp.broadcast_to(jnp.arange(n_super, dtype=jnp.int32)[None],
                              (G_, n_super))
-    sel_sup, sup_valid, sup_mask = _topk_by_count(s_ids, s_cnt, K1, n_super)
+    sel_sup, sup_valid, sup_mask, _ = _topk_by_count(s_ids, s_cnt, K1,
+                                                     n_super)
     # Per-ray supers hit but not selected: each hides <= super_size clusters.
     s_over = (s_hit & ~sup_mask[:, None, :]).sum(-1) * ssz      # [G, B]
 
@@ -269,15 +278,26 @@ def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
     q_cand = jnp.where(cand_ok[:, ::QUAD],
                        child[:, ::QUAD] // QUAD, n_quads)       # [G, Mq]
     q_cnt = c_cnt.reshape(G_, Mq, QUAD).sum(-1)
-    sel_q, _, q_mask = _topk_by_count(q_cand, q_cnt, kq, n_quads)
+    sel_q, q_valid, q_mask, q_src = _topk_by_count(q_cand, q_cnt, kq,
+                                                   n_quads)
     clu_mask = jnp.repeat(q_mask, QUAD, axis=1)                 # [G, M]
     c_over = (c_hit & ~clu_mask[:, None, :]).sum(-1)            # [G, B]
-    return sel_q, c_over + s_over
+    # Per-quarter hit bits for each candidate quad, gathered into selection
+    # order. Quarter height must keep f32 sublane tiling (multiples of 8),
+    # mirroring the eval kernel's sub-block rule.
+    nq = 4 if B % 32 == 0 else 1
+    q_hit = c_hit.reshape(G_, nq, B // nq, Mq, QUAD).any((2, 4))  # [G,nq,Mq]
+    weights = (1 << jnp.arange(nq, dtype=jnp.int32))[None, :, None]
+    qbits_all = (q_hit.astype(jnp.int32) * weights).sum(1)      # [G, Mq]
+    qbits = jnp.where(q_valid,
+                      jnp.take_along_axis(qbits_all, q_src, axis=-1), 0)
+    return sel_q, qbits, c_over + s_over
 
 
-def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q):
+def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q, qbits=None):
     """Dense pairwise per-gaussian test (trace.cu:232-254) for a chunk of
-    blocks: o/d [G, B, 3], sel_q [G, Kq] quad ids. Returns (log_T, count)
+    blocks: o/d [G, B, 3], sel_q [G, Kq] quad ids, qbits [G, Kq] optional
+    per-quarter hit bitmasks (see `_cull_chunk`). Returns (log_T, count)
     [G, B].
 
     The reference path (and CPU path): the selected quads' gaussians are
@@ -323,6 +343,15 @@ def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q):
           & (ndotd <= 0.0)
           & (t >= 0.01)
           & (power <= 0.0))
+    if qbits is not None:
+        # Same (quarter, quad) cut the Pallas kernel takes: a ray only
+        # tests quads its quarter slab-hit (matches the CUDA tracer's
+        # per-ray AABB cut more closely than the block-level union).
+        nq = 4 if B % 32 == 0 else 1
+        quarter = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1) \
+            // (B // nq)
+        hit = ((qbits[:, None, :] >> quarter) & 1).astype(bool)  # [G,B,Kq]
+        ok &= jnp.repeat(hit, qs, axis=2)
     alpha = jnp.where(ok, op[:, None, :] * jnp.exp(power), 0.0)
     log_T = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(-1)      # [G, B]
     count = ok.sum(-1)
@@ -333,8 +362,8 @@ _LOG_DEAD = float(np.log(0.9))   # all-rays-dead early-exit threshold
 _KCH = 4                         # quads fetched per kernel grid step
 
 
-def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
-                       *, kq: int, qs: int, n_sentinel: int):
+def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, feat_hbm, out_ref,
+                       gau_vmem, sem, *, kq: int, qs: int, n_sentinel: int):
     """Pallas pairwise evaluation: grid (block,), inner loop over
     quad-chunks with double-buffered DMA.
 
@@ -349,7 +378,9 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
     gets from its T < 0.9 break, trace.cu:232-254, block-wide), or (b) the
     step's first quad is the SENTINEL (selection sorts valid quads first,
     so every later quad is sentinel too — short candidate lists finish
-    early)."""
+    early). Within a step, each (ray-quarter, quad) tile is further
+    skipped when the quarter is dead or `qm_ref` says no ray of the
+    quarter slab-hits the quad (see `_cull_chunk`)."""
     i = pl.program_id(0)
     n_steps = kq // _KCH
     B = rays_ref.shape[1]
@@ -393,47 +424,51 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
             for k in range(_KCH):
                 dma(g % 2, g)(k).wait()
 
-            w = gau_vmem[g % 2]                  # [F, _KCH*qs]
-            gx, gy, gz = w[0:1], w[1:2], w[2:3]  # [1, N]
-            C1, C2, C3 = w[3:4], w[4:5], w[5:6]
-            C4, C5, C6 = w[6:7], w[7:8], w[8:9]
-            op = w[9:10]
-            nx, ny, nz = w[10:11], w[11:12], w[12:13]
-
             for q in range(0, B, QB):
                 sub_alive = (g == 0) | (
                     jnp.max(out_ref[0, q:q + QB, 0]) >= _LOG_DEAD)
+                quarter = q // QB
+                for k in range(_KCH):
+                    qm = qm_ref[i * kq + g * _KCH + k]
+                    hit = ((qm >> quarter) & 1) != 0
 
-                @pl.when(sub_alive)
-                def _(q=q):
-                    ox, oy = rays[q:q + QB, 0:1], rays[q:q + QB, 1:2]
-                    oz = rays[q:q + QB, 2:3]
-                    dx, dy = rays[q:q + QB, 3:4], rays[q:q + QB, 4:5]
-                    dz = rays[q:q + QB, 5:6]
-                    mux, muy, muz = gx - ox, gy - oy, gz - oz  # [QB, N]
-                    qdx = C1 * dx + C2 * dy + C3 * dz
-                    qdy = C2 * dx + C4 * dy + C5 * dz
-                    qdz = C3 * dx + C5 * dy + C6 * dz
-                    t_num = mux * qdx + muy * qdy + muz * qdz
-                    t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz,
-                                        1e-12)
-                    t = t_num / t_den
-                    px = mux - t * dx
-                    py = muy - t * dy
-                    pz = muz - t * dz
-                    power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
-                                    + py * (C2 * px + C4 * py + C5 * pz)
-                                    + pz * (C3 * px + C5 * py + C6 * pz))
-                    ndotd = nx * dx + ny * dy + nz * dz
-                    ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
-                          & (t >= 0.01) & (power <= 0.0))
-                    alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
-                    d_log = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
-                        axis=1, keepdims=True)              # [QB, 1]
-                    d_cnt = ok.sum(axis=1, keepdims=True).astype(
-                        jnp.float32)
-                    out_ref[0, q:q + QB, 0:1] += d_log
-                    out_ref[0, q:q + QB, 1:2] += d_cnt
+                    @pl.when(sub_alive & hit)
+                    def _(q=q, k=k):
+                        w = gau_vmem[g % 2, :,
+                                     pl.ds(k * qs, qs)]   # [F, qs]
+                        gx, gy, gz = w[0:1], w[1:2], w[2:3]
+                        C1, C2, C3 = w[3:4], w[4:5], w[5:6]
+                        C4, C5, C6 = w[6:7], w[7:8], w[8:9]
+                        op = w[9:10]
+                        nx, ny, nz = w[10:11], w[11:12], w[12:13]
+                        ox, oy = rays[q:q + QB, 0:1], rays[q:q + QB, 1:2]
+                        oz = rays[q:q + QB, 2:3]
+                        dx, dy = rays[q:q + QB, 3:4], rays[q:q + QB, 4:5]
+                        dz = rays[q:q + QB, 5:6]
+                        mux, muy, muz = gx - ox, gy - oy, gz - oz  # [QB,qs]
+                        qdx = C1 * dx + C2 * dy + C3 * dz
+                        qdy = C2 * dx + C4 * dy + C5 * dz
+                        qdz = C3 * dx + C5 * dy + C6 * dz
+                        t_num = mux * qdx + muy * qdy + muz * qdz
+                        t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz,
+                                            1e-12)
+                        t = t_num / t_den
+                        px = mux - t * dx
+                        py = muy - t * dy
+                        pz = muz - t * dz
+                        power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
+                                        + py * (C2 * px + C4 * py + C5 * pz)
+                                        + pz * (C3 * px + C5 * py + C6 * pz))
+                        ndotd = nx * dx + ny * dy + nz * dz
+                        ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
+                              & (t >= 0.01) & (power <= 0.0))
+                        alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
+                        d_log = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
+                            axis=1, keepdims=True)              # [QB, 1]
+                        d_cnt = ok.sum(axis=1, keepdims=True).astype(
+                            jnp.float32)
+                        out_ref[0, q:q + QB, 0:1] += d_log
+                        out_ref[0, q:q + QB, 1:2] += d_cnt
 
             return consumed + 1
 
@@ -450,21 +485,26 @@ def _trace_eval_kernel(sel_ref, rays_ref, feat_hbm, out_ref, gau_vmem, sem,
 
 
 # Scalar-prefetch operands live in SMEM (1 MiB total); cap each dispatch's
-# `sel` slice well under that so big host batches compile (the whole-batch
-# sel at 1M rays / 32-ray blocks is ~3 MiB).
-_SEL_SMEM_BUDGET = 1 << 16   # int32 entries per pallas_call (256 KiB)
+# `sel`+`qmask` slices well under that so big host batches compile (the
+# whole-batch sel at 1M rays / 32-ray blocks is ~3 MiB).
+_SEL_SMEM_BUDGET = 1 << 15   # int32 entries per prefetch array (128 KiB)
 
 
 def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
-                        interpret: bool = False):
+                        interpret: bool = False, qmask=None):
     """Run `_trace_eval_kernel` over all blocks. rays [nb*B, 3] sorted,
-    sel [nb, Kq] quad ids. Returns (log_T, count) as [nb*B] arrays."""
+    sel [nb, Kq] quad ids, qmask [nb, Kq] per-quarter hit bitmasks (None =
+    no (quarter, quad) skipping; sentinel quads still cost a tile each).
+    Returns (log_T, count) as [nb*B] arrays."""
     nb, Kq = sel.shape
+    if qmask is None:
+        qmask = jnp.full((nb, Kq), 15, jnp.int32)
     nbc = max(1, _SEL_SMEM_BUDGET // Kq)
     if nb > nbc:
         outs = [_eval_blocks_pallas(bvh, rays_o[i * B:(i + nbc) * B],
                                     rays_d[i * B:(i + nbc) * B],
-                                    sel[i:i + nbc], B, interpret)
+                                    sel[i:i + nbc], B, interpret,
+                                    qmask[i:i + nbc])
                 for i in range(0, nb, nbc)]
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
@@ -473,7 +513,7 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
         [rays_o, rays_d, jnp.zeros((rays_o.shape[0], 2), jnp.float32)],
         axis=-1).reshape(nb, B, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0),
@@ -493,7 +533,7 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         interpret=interpret,
-    )(sel.reshape(-1), rays, bvh.feat)
+    )(sel.reshape(-1), qmask.astype(jnp.int32).reshape(-1), rays, bvh.feat)
     return out[..., 0].reshape(-1), out[..., 1].reshape(-1).astype(jnp.int32)
 
 
@@ -538,20 +578,22 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
         o, i = oi
         return None, _cull_chunk(bvh, o, i, Kq, max_supers)
 
-    _, (sel, overflow) = jax.lax.scan(cull_body, None, (OB, IB))
+    _, (sel, qbits, overflow) = jax.lax.scan(cull_body, None, (OB, IB))
     sel = sel.reshape(n_blocks, Kq)
 
     if use_pallas:
         log_T, count = _eval_blocks_pallas(
-            bvh, rays_o, rays_d, sel, block_rays, interpret=interpret)
+            bvh, rays_o, rays_d, sel, block_rays, interpret=interpret,
+            qmask=qbits.reshape(n_blocks, Kq))
     else:
         SB = sel.reshape(n_chunks, G_, Kq)
 
         def eval_body(_, ods):
-            o, d, s = ods
-            return None, _eval_blocks_jnp(bvh, o, d, s)
+            o, d, s, qb = ods
+            return None, _eval_blocks_jnp(bvh, o, d, s, qb)
 
-        _, (log_T, count) = jax.lax.scan(eval_body, None, (OB, DB, SB))
+        _, (log_T, count) = jax.lax.scan(eval_body, None, (OB, DB, SB,
+                                                           qbits))
 
     flat = lambda a: a.reshape(-1)[:Rp]
     return flat(jnp.exp(log_T.reshape(-1))), flat(count.reshape(-1)), \
