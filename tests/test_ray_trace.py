@@ -299,3 +299,44 @@ def test_host_batched_trace_matches_single_dispatch():
                                np.asarray(one["visibility"]), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(batched["contribute"]),
                                   np.asarray(one["contribute"]))
+
+
+def test_quarter_mask_cuts_match_brute_force():
+    """Per-quarter quad masks (ray_trace._cull_chunk qbits): a block whose
+    quarters look at geometrically disjoint occluders must still match the
+    brute-force oracle through both backends — each quarter skips the
+    other's quads without losing its own occlusion."""
+    from relightable3dgaussian_tpu.ops.ray_trace import _trace_sorted
+
+    # Two opaque walls far apart on x; a block of 128 sorted rays will
+    # place the +x-origin rays and -x-origin rays in different quarters.
+    n_side = 64
+    g = jnp.stack(jnp.meshgrid(jnp.linspace(-0.5, 0.5, 8),
+                               jnp.linspace(-0.5, 0.5, 8)), -1).reshape(-1, 2)
+    wall = jnp.concatenate([g, jnp.full((n_side, 1), 1.0)], -1)
+    xyz = jnp.concatenate([wall + jnp.array([20.0, 0, 0]),
+                           wall - jnp.array([20.0, 0, 0])])
+    scaling = jnp.tile(jnp.array([[0.15, 0.15, 0.03]]), (2 * n_side, 1))
+    rot = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2 * n_side, 1))
+    op = jnp.full((2 * n_side,), 0.9)
+    nrm = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (2 * n_side, 1))
+    bvh = build_bvh(xyz, scaling, rot, op, nrm)
+
+    # 64 rays under each wall, looking up through it, plus jitter.
+    k = jax.random.PRNGKey(0)
+    jit2 = 2.0 * jax.random.uniform(k, (128, 2), minval=-1, maxval=1)
+    ro = jnp.concatenate([
+        jnp.tile(jnp.array([[20.0, 0, 0.0]]), (64, 1)),
+        jnp.tile(jnp.array([[-20.0, 0, 0.0]]), (64, 1))])
+    ro = ro.at[:, :2].add(jit2)
+    rd = jnp.tile(jnp.array([[0.0, 0, 1.0]]), (128, 1))
+
+    oracle = brute_force_visibility_vec(xyz, scaling, rot, op, nrm, ro, rd)
+    assert (oracle == 0).any() and (oracle > 0).any()
+    for use_pallas in (False, True):
+        T, cnt, ov = _trace_sorted(bvh, ro + 0.05 * rd, rd, 64, 128, 8,
+                                   use_pallas=use_pallas,
+                                   interpret=use_pallas)
+        vis = np.where(np.asarray(T) >= 0.9, np.asarray(T), 0.0)
+        np.testing.assert_allclose(vis, oracle, atol=2e-3,
+                                   err_msg=f"use_pallas={use_pallas}")
