@@ -258,14 +258,26 @@ def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
     s_over = (s_hit & ~sup_mask[:, None, :]).sum(-1) * ssz      # [G, B]
 
     # --- Level 2: child-cluster slabs per ray, block-level selection.
-    child = (jnp.clip(sel_sup, 0, n_super - 1)[:, :, None] * ssz
+    sup_idx = jnp.clip(sel_sup, 0, n_super - 1)                 # [G, K1]
+    child = (sup_idx[:, :, None] * ssz
              + jnp.arange(ssz, dtype=jnp.int32)[None, None, :]
              ).reshape(G_, K1 * ssz)                            # [G, M]
     cand_ok = (child < n_clusters) & jnp.repeat(sup_valid, ssz, axis=1)
     child = jnp.where(cand_ok, jnp.minimum(child, n_clusters - 1),
                       n_clusters)
-    c_lo = bvh.cluster_lo[jnp.minimum(child, n_clusters - 1)]   # [G, M, 3]
-    c_hi = bvh.cluster_hi[jnp.minimum(child, n_clusters - 1)]
+    # Children of a supercluster are CONTIGUOUS clusters, so their AABBs
+    # are fetched as [ssz, 3] row slices of the (super-padded) arrays —
+    # one gather descriptor per selected super instead of per cluster.
+    # Pad rows carry (+inf, -inf) boxes, which `_axis_slab` rejects.
+    spad = n_super * ssz - n_clusters
+    pad_lo = jnp.concatenate(
+        [bvh.cluster_lo, jnp.full((spad, 3), jnp.inf)]) if spad \
+        else bvh.cluster_lo
+    pad_hi = jnp.concatenate(
+        [bvh.cluster_hi, jnp.full((spad, 3), -jnp.inf)]) if spad \
+        else bvh.cluster_hi
+    c_lo = pad_lo.reshape(n_super, ssz, 3)[sup_idx].reshape(G_, K1 * ssz, 3)
+    c_hi = pad_hi.reshape(n_super, ssz, 3)[sup_idx].reshape(G_, K1 * ssz, 3)
     c_hit = _axis_slab(c_lo[:, None], c_hi[:, None],
                        o[:, :, None], inv_d[:, :, None])        # [G, B, M]
     c_hit = c_hit & cand_ok[:, None, :]
