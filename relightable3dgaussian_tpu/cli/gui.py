@@ -231,14 +231,29 @@ def main(argv=None):
     params, active, _ = load_model(args, model_cfg, is_pbr)
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
 
+    center = np.asarray(params.xyz)[np.asarray(active)].mean(0)
+
+    def _auto_plan(cfg):
+        # Same measured binning auto-sizing as the other CLIs (probe three
+        # orbit poses) so interactive frames get the tiered-sort speedup.
+        from . import auto_plan_config
+        probe = OrbitCamera(args.size, args.size, center=center,
+                            radius=args.radius)
+        cams = []
+        for az in (0.0, 2 * np.pi / 3, 4 * np.pi / 3):
+            probe.azimuth = az
+            cams.append(probe.camera())
+        return auto_plan_config(cfg, params, active, cams, args)
+
     if is_pbr:
         from ..models.lights import init_direct_light
         from ..models.render_neilf import (EVAL_FEATURE_DIM, render_neilf,
                                            update_visibility)
         vis = update_visibility(params, active, pipe.sample_num)
         env = init_direct_light(model_cfg.env_resolution)
-        cfg = RasterConfig(height=args.size, width=args.size,
-                           feature_dim=EVAL_FEATURE_DIM, sh_degree=3)
+        cfg = _auto_plan(RasterConfig(height=args.size, width=args.size,
+                                      feature_dim=EVAL_FEATURE_DIM,
+                                      sh_degree=3))
 
         @jax.jit
         def _render_view(view):
@@ -248,8 +263,8 @@ def main(argv=None):
         def render_fn(camera):
             return _render_view(camera.view_inputs())
     else:
-        cfg = RasterConfig(height=args.size, width=args.size, feature_dim=5,
-                           sh_degree=3)
+        cfg = _auto_plan(RasterConfig(height=args.size, width=args.size,
+                                      feature_dim=5, sh_degree=3))
 
         @jax.jit
         def _render_view(view):
@@ -258,7 +273,6 @@ def main(argv=None):
         def render_fn(camera):
             return _render_view(camera.view_inputs())
 
-    center = np.asarray(params.xyz)[np.asarray(active)].mean(0)
     gui = GUI(args.size, args.size, render_fn, mode=args.mode, center=center,
               radius=args.radius)
     if args.headless:
