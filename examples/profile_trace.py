@@ -97,11 +97,14 @@ def main():
     Kq = max(1, min(max_clusters, M, bvh.cluster_lo.shape[0]) // rt.QUAD)
     Kq = -(-Kq // rt._KCH) * rt._KCH
 
+    pad_lo, pad_hi = rt._padded_cluster_aabbs(bvh)
+
     @jax.jit
     def cull_all(OB, IB):
         def body(_, oi):
             o, i = oi
-            return None, rt._cull_chunk(bvh, o, i, Kq, max_supers)
+            return None, rt._cull_chunk(bvh, pad_lo, pad_hi, o, i, Kq,
+                                        max_supers)
         _, (sel, qbits, overflow) = jax.lax.scan(body, None, (OB, IB))
         return sel, qbits, overflow
 

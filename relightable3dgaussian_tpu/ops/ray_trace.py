@@ -82,6 +82,12 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
               active: jnp.ndarray | None = None,
               cluster_size: int = 32, super_size: int = 32) -> GaussianBVH:
     """Morton-sort gaussians and build cluster AABBs from 3σ ellipsoids."""
+    if super_size % QUAD:
+        # The cull aggregates cluster candidates into QUADs assuming the
+        # QUAD groups never straddle a supercluster boundary; a straddling
+        # group would silently credit hits to the wrong quad.
+        raise ValueError(f"super_size must be a multiple of {QUAD}, "
+                         f"got {super_size}")
     P = xyz.shape[0]
     if active is None:
         active = jnp.ones((P,), bool)
@@ -165,6 +171,21 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     )
 
 
+def _padded_cluster_aabbs(bvh: GaussianBVH):
+    """Cluster AABBs padded to whole superclusters and grouped per super
+    ([S, super_size, 3] each); pad rows are empty (+inf, -inf) boxes. Same
+    padding `build_bvh` uses for the super AABBs."""
+    C = bvh.cluster_lo.shape[0]
+    spad = (-C) % bvh.super_size
+    lo = (jnp.concatenate([bvh.cluster_lo, jnp.full((spad, 3), jnp.inf)])
+          if spad else bvh.cluster_lo)
+    hi = (jnp.concatenate([bvh.cluster_hi, jnp.full((spad, 3), -jnp.inf)])
+          if spad else bvh.cluster_hi)
+    S = lo.shape[0] // bvh.super_size
+    return (lo.reshape(S, bvh.super_size, 3),
+            hi.reshape(S, bvh.super_size, 3))
+
+
 def _direction_bins(d: jnp.ndarray, res: int = 8) -> jnp.ndarray:
     """Octahedral-map direction bin in [0, res*res) for [R, 3] unit dirs."""
     a = jnp.abs(d).sum(-1)
@@ -222,7 +243,8 @@ def _topk_by_count(cand_key: jnp.ndarray, counts: jnp.ndarray, k: int,
     return sel_ids, valid, sel_mask, top_idx
 
 
-def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
+def _cull_chunk(bvh: GaussianBVH, pad_lo, pad_hi, o, inv_d, kq: int,
+                max_supers: int):
     """Cull a chunk of ray blocks. o/inv_d: [G, B, 3] (sorted, coherent
     blocks). Returns (sel_q [G, kq] QUAD ids with sentinel n_quads = the
     zero quad, qbits [G, kq] per-quarter hit bitmasks, overflow [G, B]).
@@ -263,21 +285,13 @@ def _cull_chunk(bvh: GaussianBVH, o, inv_d, kq: int, max_supers: int):
              + jnp.arange(ssz, dtype=jnp.int32)[None, None, :]
              ).reshape(G_, K1 * ssz)                            # [G, M]
     cand_ok = (child < n_clusters) & jnp.repeat(sup_valid, ssz, axis=1)
-    child = jnp.where(cand_ok, jnp.minimum(child, n_clusters - 1),
-                      n_clusters)
     # Children of a supercluster are CONTIGUOUS clusters, so their AABBs
-    # are fetched as [ssz, 3] row slices of the (super-padded) arrays —
-    # one gather descriptor per selected super instead of per cluster.
-    # Pad rows carry (+inf, -inf) boxes, which `_axis_slab` rejects.
-    spad = n_super * ssz - n_clusters
-    pad_lo = jnp.concatenate(
-        [bvh.cluster_lo, jnp.full((spad, 3), jnp.inf)]) if spad \
-        else bvh.cluster_lo
-    pad_hi = jnp.concatenate(
-        [bvh.cluster_hi, jnp.full((spad, 3), -jnp.inf)]) if spad \
-        else bvh.cluster_hi
-    c_lo = pad_lo.reshape(n_super, ssz, 3)[sup_idx].reshape(G_, K1 * ssz, 3)
-    c_hi = pad_hi.reshape(n_super, ssz, 3)[sup_idx].reshape(G_, K1 * ssz, 3)
+    # are fetched as [ssz, 3] row slices of the super-padded arrays (built
+    # once per trace in `_padded_cluster_aabbs`) — one gather descriptor
+    # per selected super instead of per cluster. Pad rows carry
+    # (+inf, -inf) boxes, which `_axis_slab` rejects.
+    c_lo = pad_lo[sup_idx].reshape(G_, K1 * ssz, 3)
+    c_hi = pad_hi[sup_idx].reshape(G_, K1 * ssz, 3)
     c_hit = _axis_slab(c_lo[:, None], c_hi[:, None],
                        o[:, :, None], inv_d[:, :, None])        # [G, B, M]
     c_hit = c_hit & cand_ok[:, None, :]
@@ -586,9 +600,11 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
     if use_pallas:
         Kq = -(-Kq // _KCH) * _KCH       # kernel fetches _KCH quads/step
 
+    pad_lo, pad_hi = _padded_cluster_aabbs(bvh)
+
     def cull_body(_, oi):
         o, i = oi
-        return None, _cull_chunk(bvh, o, i, Kq, max_supers)
+        return None, _cull_chunk(bvh, pad_lo, pad_hi, o, i, Kq, max_supers)
 
     _, (sel, qbits, overflow) = jax.lax.scan(cull_body, None, (OB, IB))
     sel = sel.reshape(n_blocks, Kq)
