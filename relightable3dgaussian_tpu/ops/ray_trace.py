@@ -32,8 +32,7 @@ opacity * exp(power at best t), visibility = T if T >= 0.9 else 0.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import dataclasses
 import functools
 
 import jax
@@ -45,12 +44,34 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.quaternions import quaternion_to_rotmat
 from .knn import morton_codes
 
-FEAT_DIM = 16  # xyz 0:3 | packed inv-cov 3:9 | opacity 9 | normal 10:13 | pad
+# Per-gaussian TRACE FEATURES: the pairwise quadratic forms the per-gaussian
+# test needs (utility.cuh:91-110) are bilinear in a 16-dim gaussian vector
+# and a 16-dim ray vector, so a block's whole [rays x gaussians] evaluation
+# is ONE MXU matmul (see `_ray_feature_groups`). Rows:
+#   0      g . (inv_cov) g
+#   1:4    (inv_cov) g
+#   4:10   inv_cov packed with doubled off-diagonals
+#          [Qxx, Qyy, Qzz, 2Qxy, 2Qxz, 2Qyz]
+#   10:13  normal
+#   13     opacity
+#   14:16  zero pad
+FEAT_DIM = 16
 QUAD = 4       # clusters per packed feature tile (fetch/selection group)
 
 
-class GaussianBVH(NamedTuple):
-    """Morton-ordered two-level cluster structure (the TPU 'BVH')."""
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["order", "xyz", "cov_inv", "opacity", "normal",
+                 "cluster_lo", "cluster_hi", "super_lo", "super_hi",
+                 "feat"],
+    meta_fields=["cluster_size", "super_size"])
+@dataclasses.dataclass(frozen=True)
+class GaussianBVH:
+    """Morton-ordered two-level cluster structure (the TPU 'BVH').
+
+    A registered pytree whose size fields are STATIC metadata, so jitted
+    trace functions can take a GaussianBVH argument directly and shape
+    everything off cluster_size/super_size at trace time."""
     order: jnp.ndarray          # [P] sorted gaussian indices
     xyz: jnp.ndarray            # [P, 3] sorted positions
     cov_inv: jnp.ndarray        # [P, 6] sorted packed inverse covariances
@@ -135,21 +156,30 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     super_lo = sc_lo.reshape(S, super_size, 3).min(axis=1)
     super_hi = sc_hi.reshape(S, super_size, 3).max(axis=1)
 
-    # Packed per-gaussian features, one contiguous FEATURE-MAJOR tile per
-    # QUAD of 4 Morton-consecutive clusters ([Cq+1, FEAT_DIM,
-    # 4*cluster_size]) so a work-set fetch is one dense 128-lane-aligned
-    # DMA (the Pallas tracer copies feat[qid] straight into VMEM). Row Cq
-    # is an all-zero SENTINEL quad: selection slots beyond a block's valid
-    # candidates point at it, and its opacity-0 gaussians fail the
-    # op >= 1/255 test — no validity masks anywhere.
+    # Packed per-gaussian TRACE FEATURES (see module constant docs), one
+    # contiguous FEATURE-MAJOR tile per QUAD of 4 Morton-consecutive
+    # clusters ([Cq+1, FEAT_DIM, 4*cluster_size]) so a work-set fetch is
+    # one dense 128-lane-aligned DMA (the Pallas tracer copies feat[qid]
+    # straight into VMEM). Row Cq is an all-zero SENTINEL quad: selection
+    # slots beyond a block's valid candidates point at it, and its zero
+    # features fail both the op >= 1/255 and the t >= 0.01 tests — no
+    # validity masks anywhere.
     xyz_s = xyz[order_p].astype(jnp.float32)
     cov_s = cov_inv[order_p].astype(jnp.float32)
     nrm_s = normal[order_p].astype(jnp.float32)
+    qg = jnp.stack([cov_s[:, 0] * xyz_s[:, 0] + cov_s[:, 1] * xyz_s[:, 1]
+                    + cov_s[:, 2] * xyz_s[:, 2],
+                    cov_s[:, 1] * xyz_s[:, 0] + cov_s[:, 3] * xyz_s[:, 1]
+                    + cov_s[:, 4] * xyz_s[:, 2],
+                    cov_s[:, 2] * xyz_s[:, 0] + cov_s[:, 4] * xyz_s[:, 1]
+                    + cov_s[:, 5] * xyz_s[:, 2]], axis=-1)   # (Σ⁻¹ g)
     feat = jnp.zeros((C * cluster_size, FEAT_DIM), jnp.float32)
-    feat = feat.at[:, 0:3].set(xyz_s)
-    feat = feat.at[:, 3:9].set(cov_s)
-    feat = feat.at[:, 9].set(op_sorted.astype(jnp.float32))
+    feat = feat.at[:, 0].set((qg * xyz_s).sum(-1))
+    feat = feat.at[:, 1:4].set(qg)
+    feat = feat.at[:, 4:10].set(cov_s[:, (0, 3, 5, 1, 2, 4)]
+                                * jnp.array([1.0, 1, 1, 2, 2, 2]))
     feat = feat.at[:, 10:13].set(nrm_s)
+    feat = feat.at[:, 13].set(op_sorted.astype(jnp.float32))
     qs = QUAD * cluster_size
     feat = feat.reshape(C // QUAD, qs, FEAT_DIM).transpose(0, 2, 1)
     feat = jnp.concatenate(
@@ -320,55 +350,83 @@ def _cull_chunk(bvh: GaussianBVH, pad_lo, pad_hi, o, inv_d, kq: int,
     return sel_q, qbits, c_over + s_over
 
 
+def _ray_feature_groups(o, d):
+    """Per-ray feature rows for the MXU pairwise evaluation.
+
+    For a gaussian trace-feature column e (see FEAT_DIM docs) and ray
+    (o, d), the per-gaussian test scalars are plain dot products:
+      A  = r_A . e = mu . Σ⁻¹ mu          (mu = g - o)
+      Bq = r_B . e = mu . Σ⁻¹ d
+      Cq = r_C . e = d . Σ⁻¹ d
+      nd = r_N . e = n . d
+    so a [B, 4*FEAT_DIM-stacked] x [FEAT_DIM, N] matmul evaluates every
+    (ray, gaussian) pair of a block on the MXU. o/d [..., B, 3]; returns
+    [..., 4, B, FEAT_DIM]."""
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
+    rA = jnp.stack([one, -2.0 * ox, -2.0 * oy, -2.0 * oz,
+                    ox * ox, oy * oy, oz * oz, ox * oy, ox * oz, oy * oz,
+                    zero, zero, zero, zero, zero, zero], axis=-1)
+    rB = jnp.stack([zero, dx, dy, dz,
+                    -ox * dx, -oy * dy, -oz * dz,
+                    -0.5 * (ox * dy + oy * dx), -0.5 * (ox * dz + oz * dx),
+                    -0.5 * (oy * dz + oz * dy),
+                    zero, zero, zero, zero, zero, zero], axis=-1)
+    rC = jnp.stack([zero, zero, zero, zero,
+                    dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
+                    zero, zero, zero, zero, zero, zero], axis=-1)
+    rN = jnp.stack([zero, zero, zero, zero, zero, zero, zero, zero, zero,
+                    zero, dx, dy, dz, zero, zero, zero], axis=-1)
+    return jnp.stack([rA, rB, rC, rN], axis=-3)    # [..., 4, B, F]
+
+
+def _pair_test(A, Bq, Cq, nd, op, mask=None):
+    """Shared elementwise tail of the per-gaussian test (trace.cu:232-254):
+    given the four matmul scalars + broadcast opacity, return
+    (one_minus_alpha, okf) as f32 arrays. `mask` (optional, f32 0/1)
+    applies the (quarter, quad) slab cut."""
+    t = Bq / jnp.maximum(Cq, 1e-12)    # max-response position along ray
+    # A - Bq*t = residual quadratic (mu - t d).Σ⁻¹(mu - t d) >= 0
+    # analytically; f32 cancellation can leave it slightly negative, so
+    # power is clamped to <= 0 rather than used as a skip condition (the
+    # oracle's `power > 0: continue` fires only on rounding noise where
+    # alpha ~= op * exp(-0) either way).
+    power = jnp.minimum(-0.5 * (A - Bq * t), 0.0)
+    ok = ((op >= 1.0 / 255.0) & (nd <= 0.0) & (t >= 0.01))
+    okf = ok.astype(jnp.float32)
+    if mask is not None:
+        okf = okf * mask
+    alpha = jnp.minimum(okf * op * jnp.exp(power), 0.9999)
+    return 1.0 - alpha, okf
+
+
 def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q, qbits=None):
     """Dense pairwise per-gaussian test (trace.cu:232-254) for a chunk of
     blocks: o/d [G, B, 3], sel_q [G, Kq] quad ids, qbits [G, Kq] optional
-    per-quarter hit bitmasks (see `_cull_chunk`). Returns (log_T, count)
+    per-quarter hit bitmasks (see `_cull_chunk`). Returns (T, count)
     [G, B].
 
     The reference path (and CPU path): the selected quads' gaussians are
-    gathered ONCE per block as dense contiguous tiles — amortized over the
-    whole block, no per-ray gathers — then every (ray, gaussian) pair is
-    fused elementwise work. On TPU the same math runs in the Pallas kernel
-    `_trace_eval_kernel` (early exit + on-demand quad DMA)."""
+    gathered ONCE per block as dense contiguous trace-feature tiles —
+    amortized over the whole block, no per-ray gathers — then the whole
+    [rays, gaussians] pairwise tile is ONE batched matmul of ray features
+    against gaussian features (`_ray_feature_groups`) plus an elementwise
+    tail. On TPU the same math runs in the Pallas kernel
+    `_trace_eval_kernel` (MXU dot per step, early exit, on-demand quad
+    DMA)."""
     G_, B = o.shape[:2]
     qs = QUAD * bvh.cluster_size
     Kq = sel_q.shape[1]
     work = bvh.feat[sel_q]                             # [G, Kq, F, qs]
     w = work.transpose(0, 2, 1, 3).reshape(G_, FEAT_DIM, Kq * qs)
-    gx, gy, gz = w[:, 0], w[:, 1], w[:, 2]             # [G, N]
-    cxx, cxy, cxz = w[:, 3], w[:, 4], w[:, 5]
-    cyy, cyz, czz = w[:, 6], w[:, 7], w[:, 8]
-    op = w[:, 9]
-    nx, ny, nz = w[:, 10], w[:, 11], w[:, 12]
-
-    # Unrolled over xyz so every temporary is [G, B, N]; the residual vector
-    # (mu - t d) is formed BEFORE its quadratic so `power` never suffers the
-    # (|mu|/scale)^2 cancellation a factored expansion would.
-    ox, oy, oz = o[..., 0:1], o[..., 1:2], o[..., 2:3]          # [G, B, 1]
-    dx, dy, dz = d[..., 0:1], d[..., 1:2], d[..., 2:3]
-    mux = gx[:, None, :] - ox
-    muy = gy[:, None, :] - oy
-    muz = gz[:, None, :] - oz                                   # [G, B, N]
-    C1, C2, C3 = cxx[:, None, :], cxy[:, None, :], cxz[:, None, :]
-    C4, C5, C6 = cyy[:, None, :], cyz[:, None, :], czz[:, None, :]
-    qdx = C1 * dx + C2 * dy + C3 * dz                           # (Σ⁻¹ d)_x
-    qdy = C2 * dx + C4 * dy + C5 * dz
-    qdz = C3 * dx + C5 * dy + C6 * dz
-    t_num = mux * qdx + muy * qdy + muz * qdz
-    t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz, 1e-12)
-    t = t_num / t_den           # max-response position along the ray
-    px = mux - t * dx
-    py = muy - t * dy
-    pz = muz - t * dz
-    power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
-                    + py * (C2 * px + C4 * py + C5 * pz)
-                    + pz * (C3 * px + C5 * py + C6 * pz))
-    ndotd = nx[:, None, :] * dx + ny[:, None, :] * dy + nz[:, None, :] * dz
-    ok = ((op[:, None, :] >= 1.0 / 255.0)
-          & (ndotd <= 0.0)
-          & (t >= 0.01)
-          & (power <= 0.0))
+    rf = _ray_feature_groups(o, d)                     # [G, 4, B, F]
+    scal = jnp.einsum("gkbf,gfn->gkbn", rf, w,
+                      preferred_element_type=jnp.float32)
+    A, Bq, Cq, nd = scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3]
+    op = w[:, 13][:, None, :]                          # [G, 1, N]
+    mask = None
     if qbits is not None:
         # Same (quarter, quad) cut the Pallas kernel takes: a ray only
         # tests quads its quarter slab-hit (matches the CUDA tracer's
@@ -376,138 +434,114 @@ def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q, qbits=None):
         nq = 4 if B % 32 == 0 else 1
         quarter = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1) \
             // (B // nq)
-        hit = ((qbits[:, None, :] >> quarter) & 1).astype(bool)  # [G,B,Kq]
-        ok &= jnp.repeat(hit, qs, axis=2)
-    alpha = jnp.where(ok, op[:, None, :] * jnp.exp(power), 0.0)
-    log_T = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(-1)      # [G, B]
-    count = ok.sum(-1)
-    return log_T, count
+        hit = ((qbits[:, None, :] >> quarter) & 1).astype(jnp.float32)
+        mask = jnp.repeat(hit, qs, axis=2)             # [G, B, N]
+    one_m_alpha, okf = _pair_test(A, Bq, Cq, nd, op, mask)
+    T = jnp.prod(one_m_alpha, axis=-1)                 # [G, B]
+    count = okf.sum(-1).astype(jnp.int32)
+    return T, count
 
 
-_LOG_DEAD = float(np.log(0.9))   # all-rays-dead early-exit threshold
+_T_DEAD = 0.9                    # all-rays-dead early-exit threshold
 _KCH = 4                         # quads fetched per kernel grid step
 
 
-def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, feat_hbm, out_ref,
-                       gau_vmem, sem, *, kq: int, qs: int, n_sentinel: int):
-    """Pallas pairwise evaluation: grid (block,), inner loop over
-    quad-chunks with double-buffered DMA.
+def _lane_prod(x):
+    """Product over the lane axis by pairwise halving ([B, W] -> [B, 1]);
+    Mosaic has no reduce_prod lowering, and a log/exp round-trip would put
+    a transcendental on every pair."""
+    carry = None
+    w = x.shape[1]
+    while w > 1:
+        if w % 2:
+            c = x[:, w - 1:w]
+            carry = c if carry is None else carry * c
+            x = x[:, :w - 1]
+            w -= 1
+        x = x[:, :w // 2] * x[:, w // 2:w]
+        w //= 2
+    return x if carry is None else x * carry
 
-    Per step: evaluate the [B, _KCH*qs] pairwise tile resident in one VMEM
-    buffer while the NEXT step's `_KCH` selected quad feature tiles stream
-    into the other (tiles are [F, QUAD*cluster_size] — 128 lanes, the DMA
-    alignment unit), accumulating per-ray log-transmittance + contributor
-    count in loop carries; the output block is written once. A step is
-    skipped — fetch and compute — when either (a) EVERY ray in the block
-    already has T < 0.9 (visibility 0 regardless of deeper geometry; the
-    product only decreases: the early-termination the CUDA per-ray DFS
-    gets from its T < 0.9 break, trace.cu:232-254, block-wide), or (b) the
-    step's first quad is the SENTINEL (selection sorts valid quads first,
-    so every later quad is sentinel too — short candidate lists finish
-    early). Within a step, each (ray-quarter, quad) tile is further
-    skipped when the quarter is dead or `qm_ref` says no ray of the
-    quarter slab-hits the quad (see `_cull_chunk`)."""
+
+def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, *feat_out, kq: int,
+                       qs: int, n_sentinel: int, n_steps: int,
+                       use_qmask: bool):
+    """Pallas pairwise evaluation: grid (block, step) with `_KCH` selected
+    quad tiles per step streamed by the Pallas pipeline itself (the
+    scalar-prefetched `sel_ref` drives the feature BlockSpec index maps,
+    so the runtime double-buffers the gather DMAs across grid steps — no
+    manual semaphores) and ONE MXU matmul per tile.
+
+    Per step: the four per-pair test scalars (mu.Qmu, mu.Qd, d.Qd, n.d —
+    see `_ray_feature_groups`) for each [B, qs] pairwise tile are one
+    [4B, F] x [F, qs] dot against the resident trace-feature tile
+    ([F, QUAD*cluster_size] — 128 lanes, the DMA alignment unit). The
+    elementwise tail (`_pair_test`) multiplies LANE-WISE carry
+    accumulators in VMEM scratch — per tile the only reduction-free ops
+    are one multiply (transmittance factors) and one add (contributor
+    counts); the [B, qs] -> [B] product/sum reductions happen ONCE per
+    block at the last step, which writes the out block. Compute is
+    skipped when either (a) EVERY ray in the block is provably dead
+    (T <= min over lanes of the carry < 0.9 -> visibility 0 regardless
+    of deeper geometry — the early-termination the CUDA per-ray DFS gets
+    from its T < 0.9 break, trace.cu:232-254, block-wide and
+    conservative), or (b) the step's first quad is the SENTINEL
+    (selection sorts valid quads first, so every later quad is sentinel
+    too). With `use_qmask`, the per-quarter slab-cut bits of `qm_ref`
+    (see `_cull_chunk`) are applied as a multiplicative mask on the
+    ok-pairs — same cut as the jnp path (off by default: it prunes a few
+    percent and costs more than it saves)."""
+    feat_refs, out_ref = feat_out[:-3], feat_out[-3]
+    tl_ref, cnt_ref = feat_out[-2], feat_out[-1]
     i = pl.program_id(0)
-    n_steps = kq // _KCH
-    B = rays_ref.shape[1]
-    # Sub-block rows: death is spatially coherent under the (direction,
-    # origin) ray sort, so quarters of the block stop computing
-    # independently long before the whole block is dead. Sub-block height
-    # must keep the f32 sublane tiling (multiples of 8).
-    QB = B // 4 if B % 32 == 0 else B
+    g = pl.program_id(1)
+    B = rays_ref.shape[1] // 4
+    # Quarter rows for the slab-cut mask; quarters need f32 sublane tiling.
+    nq = 4 if B % 32 == 0 else 1
+    QB = B // nq
 
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    def dma(slot, g):
-        def one(k):
-            qid = sel_ref[i * kq + g * _KCH + k]
-            return pltpu.make_async_copy(
-                feat_hbm.at[qid], gau_vmem.at[slot, :, pl.ds(k * qs, qs)],
-                sem.at[slot, k])
-        return one
-
-    for k in range(_KCH):
-        dma(0, 0)(k).start()
-
-    rays = rays_ref[0]                       # [B, 8]
-
-    def body(g, consumed):
-        # Step g's buffer is in flight iff every prior step ran (consumed
-        # == g); aliveness is monotone so a dead block stays dead. A step
-        # whose first quad is the sentinel has no further candidates
-        # (selection sorts valid quads first).
-        alive = (g == 0) | ((consumed == g)
-                            & (jnp.max(out_ref[0, :, 0]) >= _LOG_DEAD)
-                            & (sel_ref[i * kq + g * _KCH] < n_sentinel))
-
-        def run():
-            # Prefetch step g+1 into the other buffer, then consume step g.
-            @pl.when(g + 1 < n_steps)
-            def _():
-                for k in range(_KCH):
-                    dma((g + 1) % 2, g + 1)(k).start()
-
-            for k in range(_KCH):
-                dma(g % 2, g)(k).wait()
-
-            for q in range(0, B, QB):
-                sub_alive = (g == 0) | (
-                    jnp.max(out_ref[0, q:q + QB, 0]) >= _LOG_DEAD)
-                quarter = q // QB
-                for k in range(_KCH):
-                    qm = qm_ref[i * kq + g * _KCH + k]
-                    hit = ((qm >> quarter) & 1) != 0
-
-                    @pl.when(sub_alive & hit)
-                    def _(q=q, k=k):
-                        w = gau_vmem[g % 2, :,
-                                     pl.ds(k * qs, qs)]   # [F, qs]
-                        gx, gy, gz = w[0:1], w[1:2], w[2:3]
-                        C1, C2, C3 = w[3:4], w[4:5], w[5:6]
-                        C4, C5, C6 = w[6:7], w[7:8], w[8:9]
-                        op = w[9:10]
-                        nx, ny, nz = w[10:11], w[11:12], w[12:13]
-                        ox, oy = rays[q:q + QB, 0:1], rays[q:q + QB, 1:2]
-                        oz = rays[q:q + QB, 2:3]
-                        dx, dy = rays[q:q + QB, 3:4], rays[q:q + QB, 4:5]
-                        dz = rays[q:q + QB, 5:6]
-                        mux, muy, muz = gx - ox, gy - oy, gz - oz  # [QB,qs]
-                        qdx = C1 * dx + C2 * dy + C3 * dz
-                        qdy = C2 * dx + C4 * dy + C5 * dz
-                        qdz = C3 * dx + C5 * dy + C6 * dz
-                        t_num = mux * qdx + muy * qdy + muz * qdz
-                        t_den = jnp.maximum(dx * qdx + dy * qdy + dz * qdz,
-                                            1e-12)
-                        t = t_num / t_den
-                        px = mux - t * dx
-                        py = muy - t * dy
-                        pz = muz - t * dz
-                        power = -0.5 * (px * (C1 * px + C2 * py + C3 * pz)
-                                        + py * (C2 * px + C4 * py + C5 * pz)
-                                        + pz * (C3 * px + C5 * py + C6 * pz))
-                        ndotd = nx * dx + ny * dy + nz * dz
-                        ok = ((op >= 1.0 / 255.0) & (ndotd <= 0.0)
-                              & (t >= 0.01) & (power <= 0.0))
-                        alpha = jnp.where(ok, op * jnp.exp(power), 0.0)
-                        d_log = jnp.log1p(-jnp.minimum(alpha, 0.9999)).sum(
-                            axis=1, keepdims=True)              # [QB, 1]
-                        d_cnt = ok.sum(axis=1, keepdims=True).astype(
-                            jnp.float32)
-                        out_ref[0, q:q + QB, 0:1] += d_log
-                        out_ref[0, q:q + QB, 1:2] += d_cnt
-
-            return consumed + 1
-
-        return jax.lax.cond(alive, run, lambda: consumed)
-
-    consumed = jax.lax.fori_loop(0, n_steps, body, jnp.int32(0))
-
-    # A block that died at step s < n_steps-1 started step s+1's prefetch
-    # before consuming step s; drain it.
-    @pl.when(consumed < n_steps)
+    @pl.when(g == 0)
     def _():
-        for k in range(_KCH):
-            dma(consumed % 2, consumed)(k).wait()
+        tl_ref[...] = jnp.ones_like(tl_ref)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    # Conservative block-death proxy: T = prod(lanes) <= min(lanes), so
+    # min-lane < 0.9 for every ray implies every ray is dead.
+    alive = ((jnp.max(jnp.min(tl_ref[...], axis=1)) >= _T_DEAD)
+             & (sel_ref[i * kq + g * _KCH] < n_sentinel))
+
+    @pl.when(alive)
+    def _():
+        rf = rays_ref[0]                         # [4B, F] ray features
+        # One [4B, F] x [F, _KCH*qs] dot per step: concatenating the
+        # step's quad tiles first costs one small VMEM copy but quarters
+        # the per-dot fixed overhead and runs the elementwise tail on
+        # 4x-wider registers.
+        w = jnp.concatenate([feat_refs[k][0] for k in range(_KCH)], axis=1)
+        scal = jnp.dot(rf, w, preferred_element_type=jnp.float32)
+        W = _KCH * qs
+        A, Bq = scal[0:B], scal[B:2 * B]         # [B, W]
+        Cq, nd = scal[2 * B:3 * B], scal[3 * B:4 * B]
+        op = w[13:14, :]                         # [1, W]
+        mask = None
+        if use_qmask:
+            # (quarter, quad) slab-cut mask from the prefetched bits.
+            quarter = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) // QB
+            mask = jnp.concatenate(
+                [jnp.broadcast_to(
+                    ((qm_ref[i * kq + g * _KCH + k] >> quarter) & 1
+                     ).astype(jnp.float32), (B, qs))
+                 for k in range(_KCH)], axis=1)
+        one_m_alpha, okf = _pair_test(A, Bq, Cq, nd, op, mask)
+        tl_ref[...] *= one_m_alpha
+        cnt_ref[...] += okf
+
+    @pl.when(g == n_steps - 1)
+    def _():
+        T = _lane_prod(tl_ref[...])              # [B, 1]
+        cnt = cnt_ref[...].sum(axis=1, keepdims=True)
+        out_ref[...] = jnp.concatenate(
+            [T, cnt, jnp.zeros((B, 6), jnp.float32)], axis=-1)[None]
 
 
 # Scalar-prefetch operands live in SMEM (1 MiB total); cap each dispatch's
@@ -520,55 +554,91 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
                         interpret: bool = False, qmask=None):
     """Run `_trace_eval_kernel` over all blocks. rays [nb*B, 3] sorted,
     sel [nb, Kq] quad ids, qmask [nb, Kq] per-quarter hit bitmasks (None =
-    no (quarter, quad) skipping; sentinel quads still cost a tile each).
-    Returns (log_T, count) as [nb*B] arrays."""
+    no (quarter, quad) cut; sentinel quads still cost a tile each).
+    Returns (T, count) as [nb*B] arrays."""
     nb, Kq = sel.shape
-    if qmask is None:
+    use_qmask = qmask is not None
+    if not use_qmask:
         qmask = jnp.full((nb, Kq), 15, jnp.int32)
     nbc = max(1, _SEL_SMEM_BUDGET // Kq)
     if nb > nbc:
         outs = [_eval_blocks_pallas(bvh, rays_o[i * B:(i + nbc) * B],
                                     rays_d[i * B:(i + nbc) * B],
                                     sel[i:i + nbc], B, interpret,
-                                    qmask[i:i + nbc])
+                                    qmask[i:i + nbc] if use_qmask else None)
                 for i in range(0, nb, nbc)]
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
     qs = QUAD * bvh.cluster_size
-    rays = jnp.concatenate(
-        [rays_o, rays_d, jnp.zeros((rays_o.shape[0], 2), jnp.float32)],
-        axis=-1).reshape(nb, B, 8)
+    n_steps = Kq // _KCH
+    # Ray features are precomputed OUTSIDE the kernel (one cheap fused XLA
+    # elementwise pass) and fetched once per block — rebuilding them per
+    # grid step costs far more than their HBM traffic.
+    rays = _ray_feature_groups(
+        rays_o.reshape(nb, B, 3), rays_d.reshape(nb, B, 3)
+    ).reshape(nb, 4 * B, FEAT_DIM)
+
+    def feat_index(k):
+        # The pipeline prefetches each step's _KCH quad tiles from the
+        # scalar-prefetched selection — dead/short blocks still fetch, but
+        # total fetch traffic (~Kq * 8 KB per block) is HBM-trivial.
+        return lambda i, g, sel_ref, qm_ref: (sel_ref[i * Kq + g * _KCH
+                                                      + k], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb,),
+        grid=(nb, n_steps),
         in_specs=[
-            pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 4 * B, FEAT_DIM), lambda i, g, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [
+            pl.BlockSpec((1, FEAT_DIM, qs), feat_index(k),
+                         memory_space=pltpu.VMEM)
+            for k in range(_KCH)
         ],
-        out_specs=pl.BlockSpec((1, B, 8), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, B, 8), lambda i, g, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_DIM, _KCH * qs), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _KCH)),
+            # lane-wise (1-alpha) and count carries, one lane per gaussian
+            # of a step's _KCH quad tiles
+            pltpu.VMEM((B, _KCH * qs), jnp.float32),
+            pltpu.VMEM((B, _KCH * qs), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_trace_eval_kernel, kq=Kq, qs=qs,
-                          n_sentinel=bvh.feat.shape[0] - 1),
+                          n_sentinel=bvh.feat.shape[0] - 1,
+                          n_steps=n_steps, use_qmask=use_qmask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, B, 8), jnp.float32),
         interpret=interpret,
-    )(sel.reshape(-1), qmask.astype(jnp.int32).reshape(-1), rays, bvh.feat)
+    )(sel.reshape(-1), qmask.astype(jnp.int32).reshape(-1), rays,
+      *([bvh.feat] * _KCH))
     return out[..., 0].reshape(-1), out[..., 1].reshape(-1).astype(jnp.int32)
 
 
 def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
                   block_rays: int, max_supers: int,
                   rays_per_chunk: int = 8192, use_pallas: bool | None = None,
-                  interpret: bool = False):
+                  interpret: bool = False, quarter_mask: bool = False):
     """Trace rays already padded to a multiple of block_rays, in sorted
-    (coherent-block) order. Returns (T, count, overflow) flat arrays."""
+    (coherent-block) order. Returns (T, count, overflow) flat arrays.
+
+    Thin eager wrapper that resolves the backend choice, then calls the
+    JITTED core — without the jit every eager call re-traces the cull scan
+    and re-lowers the Pallas kernel, which costs more than the trace."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return _trace_sorted_jit(bvh, rays_o, rays_d, max_clusters, block_rays,
+                             max_supers, rays_per_chunk, use_pallas,
+                             interpret, quarter_mask)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _trace_sorted_jit(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
+                      block_rays: int, max_supers: int,
+                      rays_per_chunk: int, use_pallas: bool,
+                      interpret: bool, quarter_mask: bool):
     Rp = rays_o.shape[0]
     n_blocks = Rp // block_rays
     G_ = max(1, min(n_blocks, rays_per_chunk // block_rays))
@@ -592,8 +662,6 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
     # Selection works on QUADs of 4 clusters (one aligned feature tile).
     Kq = max(1, min(max_clusters, M, n_clusters) // QUAD)
     qs = QUAD * bvh.cluster_size
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     use_pallas = (use_pallas and block_rays % 8 == 0
                   and qs % 128 == 0
                   and -(-Kq // _KCH) * _KCH <= max(1, M // QUAD))
@@ -610,21 +678,21 @@ def _trace_sorted(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
     sel = sel.reshape(n_blocks, Kq)
 
     if use_pallas:
-        log_T, count = _eval_blocks_pallas(
+        T, count = _eval_blocks_pallas(
             bvh, rays_o, rays_d, sel, block_rays, interpret=interpret,
-            qmask=qbits.reshape(n_blocks, Kq))
+            qmask=qbits.reshape(n_blocks, Kq) if quarter_mask else None)
     else:
         SB = sel.reshape(n_chunks, G_, Kq)
 
         def eval_body(_, ods):
             o, d, s, qb = ods
-            return None, _eval_blocks_jnp(bvh, o, d, s, qb)
+            return None, _eval_blocks_jnp(bvh, o, d, s,
+                                          qb if quarter_mask else None)
 
-        _, (log_T, count) = jax.lax.scan(eval_body, None, (OB, DB, SB,
-                                                           qbits))
+        _, (T, count) = jax.lax.scan(eval_body, None, (OB, DB, SB, qbits))
 
     flat = lambda a: a.reshape(-1)[:Rp]
-    return flat(jnp.exp(log_T.reshape(-1))), flat(count.reshape(-1)), \
+    return flat(T.reshape(-1)), flat(count.reshape(-1)), \
         flat(overflow.reshape(-1))
 
 
@@ -632,7 +700,8 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, max_clusters: int = 96,
                      ray_chunk: int = 128, max_supers: int = 32,
                      host_batch: int = 1 << 20, sort_rays: bool = True,
-                     dir_res: int = 16, rays_per_chunk: int = 8192):
+                     dir_res: int = 16, rays_per_chunk: int = 8192,
+                     quarter_mask: bool = False):
     """Visibility for flat ray arrays [R, 3] (origin offset like the
     reference, bvh/__init__.py:62-71: o += 0.05 d). Returns dict with
     "visibility" [R, 1], "contribute" [R, 1], "overflow" [R].
@@ -649,7 +718,8 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
         outs = [trace_visibility(bvh, rays_o[i:i + host_batch],
                                  rays_d[i:i + host_batch], max_clusters,
                                  ray_chunk, max_supers, host_batch,
-                                 sort_rays, dir_res, rays_per_chunk)
+                                 sort_rays, dir_res, rays_per_chunk,
+                                 quarter_mask)
                 for i in range(0, R, host_batch)]
         return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
@@ -674,17 +744,22 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
         morton_bits = 32 - dir_bits
         key = ((dbin << jnp.uint32(morton_bits))
                | (code >> jnp.uint32(max(0, 30 - morton_bits))))
+        # Sort + permutation + unsort all stay ON DEVICE: the XLA sort is
+        # ~0.2s/6.4M rays once compiled (the compilation cache makes that a
+        # one-time cost), device gathers run at HBM speed, and the axon
+        # dev->host link is far too slow (~1.5 MB/s measured) for any
+        # host-side radix sort to win.
         perm = jnp.argsort(key)
         T, count, overflow = _trace_sorted(
-            bvh, rays_o[perm], rays_d[perm], max_clusters, B, max_supers,
-            rays_per_chunk)
+            bvh, rays_o[perm], rays_d[perm], max_clusters, B,
+            max_supers, rays_per_chunk, quarter_mask=quarter_mask)
         inv = jnp.zeros((Rp,), jnp.int32).at[perm].set(
             jnp.arange(Rp, dtype=jnp.int32))
         T, count, overflow = T[inv], count[inv], overflow[inv]
     else:
         T, count, overflow = _trace_sorted(
             bvh, rays_o, rays_d, max_clusters, B, max_supers,
-            rays_per_chunk)
+            rays_per_chunk, quarter_mask=quarter_mask)
 
     T, count, overflow = T[:R], count[:R], overflow[:R]
     vis = jnp.where(T >= 0.9, T, 0.0)
@@ -718,26 +793,30 @@ def trace_visibility_adaptive(bvh: GaussianBVH, rays_o: jnp.ndarray,
     count = out["contribute"][:, 0]
     overflow = out["overflow"]
     n_clusters = bvh.cluster_lo.shape[0]
+    R = vis.shape[0]
     kc, ks = max_clusters, max_supers
     for _ in range(max_rounds):
         if kc >= min(cap_limit, n_clusters):
             break
-        uncertain = np.asarray((vis > 0.0) & (overflow > 0))
+        uncertain = (vis > 0.0) & (overflow > 0)
+        # Only a SCALAR crosses the (slow) device->host link per round;
+        # the uncertain-index set, the retrace gather, and the scatter of
+        # the refined results all stay on device.
         n_unc = int(uncertain.sum())
         if n_unc == 0:
             break
         kc = min(escalation * kc, cap_limit, n_clusters)
         ks = min(escalation * ks, bvh.super_lo.shape[0])
-        idx = jnp.asarray(np.nonzero(uncertain)[0])
         # pad the retrace set to a power of two so escalation rounds reuse
-        # compiled programs across calls
+        # compiled programs across calls; fill slots point out of range so
+        # their scatters drop (jax .at[] default mode).
         n_pad = max(256, 1 << (n_unc - 1).bit_length())
-        idx_p = jnp.concatenate(
-            [idx, jnp.zeros((n_pad - n_unc,), idx.dtype)])
-        sub = trace_visibility(bvh, rays_o[idx_p], rays_d[idx_p], kc,
+        idx_p = jnp.nonzero(uncertain, size=n_pad, fill_value=R)[0]
+        idx_c = jnp.minimum(idx_p, R - 1)
+        sub = trace_visibility(bvh, rays_o[idx_c], rays_d[idx_c], kc,
                                ray_chunk, ks, **kw)
-        vis = vis.at[idx].set(sub["visibility"][:n_unc, 0])
-        count = count.at[idx].set(sub["contribute"][:n_unc, 0])
-        overflow = overflow.at[idx].set(sub["overflow"][:n_unc])
+        vis = vis.at[idx_p].set(sub["visibility"][:, 0])
+        count = count.at[idx_p].set(sub["contribute"][:, 0])
+        overflow = overflow.at[idx_p].set(sub["overflow"])
     return {"visibility": vis[:, None], "contribute": count[:, None],
             "overflow": overflow}
