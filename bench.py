@@ -26,6 +26,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(x):
+    """Force real completion: on the axon remote runtime,
+    jax.block_until_ready can return before execution finishes — only a
+    value transfer is a true sync. Returns a scalar from x."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def main():
     from relightable3dgaussian_tpu.models import gaussians as G
     from relightable3dgaussian_tpu.models.render import ViewInputs, render
@@ -97,7 +105,8 @@ def main():
         return render(view, params, active, cfg, bg)["render"]
 
     t0 = time.time()
-    img = jax.block_until_ready(fwd(params, aux.active, view))
+    img = fwd(params, aux.active, view)
+    sync(img)
     log(f"render compile+first: {time.time() - t0:.1f}s, "
         f"mean={float(img.mean()):.4f}")
 
@@ -105,7 +114,7 @@ def main():
     t0 = time.time()
     for _ in range(iters):
         img = fwd(params, aux.active, view)
-    jax.block_until_ready(img)
+    sync(img)
     dt = (time.time() - t0) / iters
     fps = 1.0 / dt
     log(f"render: {dt * 1e3:.2f} ms/frame = {fps:.2f} FPS")
@@ -120,14 +129,14 @@ def main():
         out = train_step(params, aux, opt_state, view, jnp.asarray(1),
                          jax.random.PRNGKey(0), cfg=cfg_train, opt=opt,
                          spatial_lr_scale=1.0)
-        jax.block_until_ready(out[0])
+        sync(out[0])
         log(f"train compile+first: {time.time() - t0:.1f}s")
         t0 = time.time()
         for i in range(5):
             out = train_step(out[0], out[1], out[2], view,
                              jnp.asarray(i + 2), jax.random.PRNGKey(i),
                              cfg=cfg_train, opt=opt, spatial_lr_scale=1.0)
-        jax.block_until_ready(out[0])
+        sync(out[0])
         train_dt = (time.time() - t0) / 5
         log(f"train: {train_dt * 1e3:.1f} ms/it = {1 / train_dt:.2f} it/s")
     except Exception as e:  # keep the headline metric robust
@@ -163,14 +172,14 @@ def main():
         out2 = stage2.train_step(params2, aux, o2, env, env_state, vis,
                                  view, jnp.asarray(1), cfg=cfg2, opt=opt2,
                                  spatial_lr_scale=1.0)
-        jax.block_until_ready(out2[0])
+        sync(out2[0])
         log(f"train-pbr compile+first: {time.time() - t0:.1f}s")
         t0 = time.time()
         for i in range(5):
             out2 = stage2.train_step(out2[0], out2[1], out2[2], out2[3],
                                      out2[4], vis, view, jnp.asarray(i + 2),
                                      cfg=cfg2, opt=opt2, spatial_lr_scale=1.0)
-        jax.block_until_ready(out2[0])
+        sync(out2[0])
         dt2 = (time.time() - t0) / 5
         log(f"train-pbr (S={s_num}): {dt2 * 1e3:.1f} ms/it = "
             f"{1 / dt2:.2f} it/s")
@@ -207,7 +216,7 @@ def main():
         rot_s = rot_s / jnp.linalg.norm(rot_s, axis=-1, keepdims=True)
         op_s = jax.random.uniform(ks[3], (n,), minval=0.3, maxval=0.95)
         bvh = build_bvh(xyz_s, scl_s, rot_s, op_s, nrm_s)
-        jax.block_until_ready(bvh.feat)
+        sync(bvh.feat)
 
         for s_trace, label in ((64, "train-scale"), (384, "eval-scale")):
             dirs, _ = fibonacci_sphere_sampling(nrm_s, s_trace, key=None)

@@ -21,6 +21,15 @@ import numpy as np
 from ..utils.graphics import srgb_to_rgb
 
 
+# Tables at or below this many texels sample via separable one-hot
+# matmuls instead of gathers. TPU gathers/scatters run near one element
+# per cycle, so the learnable 16x32 (or 2x-upsampled) training env map
+# cost ~170 ms per 6.4M-direction query each way; as two einsums the same
+# query is MXU work with matmul AD (no scatter in the backward), ~15x
+# faster. Big fixed HDR eval maps stay on the gather path.
+_ONEHOT_TEXELS = 4096
+
+
 def grid_sample_bilinear(img: jnp.ndarray, gx: jnp.ndarray,
                          gy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample img [H, W, C] at normalized coords gx, gy in [-1, 1]
@@ -32,6 +41,26 @@ def grid_sample_bilinear(img: jnp.ndarray, gx: jnp.ndarray,
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
+
+    if H * W <= _ONEHOT_TEXELS:
+        # Separable bilinear as one-hot weight matrices: out-of-range taps
+        # match no one-hot column, reproducing zeros padding exactly.
+        shape = x.shape
+        x0f = x0.reshape(-1)
+        y0f = y0.reshape(-1)
+        wxf = wx.reshape(-1)[:, None]
+        wyf = wy.reshape(-1)[:, None]
+        ix = jnp.arange(W, dtype=x0f.dtype)[None]
+        iy = jnp.arange(H, dtype=y0f.dtype)[None]
+        WX = ((ix == x0f[:, None]) * (1.0 - wxf)
+              + (ix == x0f[:, None] + 1.0) * wxf)          # [N, W]
+        WY = ((iy == y0f[:, None]) * (1.0 - wyf)
+              + (iy == y0f[:, None] + 1.0) * wyf)          # [N, H]
+        M = jnp.einsum("nw,hwc->nhc", WX, img,
+                       preferred_element_type=jnp.float32)
+        out = jnp.einsum("nh,nhc->nc", WY, M,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(*shape, img.shape[-1])
 
     def tap(xi, yi):
         inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)

@@ -808,9 +808,11 @@ def trace_visibility_adaptive(bvh: GaussianBVH, rays_o: jnp.ndarray,
         kc = min(escalation * kc, cap_limit, n_clusters)
         ks = min(escalation * ks, bvh.super_lo.shape[0])
         # pad the retrace set to a power of two so escalation rounds reuse
-        # compiled programs across calls; fill slots point out of range so
-        # their scatters drop (jax .at[] default mode).
-        n_pad = max(256, 1 << (n_unc - 1).bit_length())
+        # compiled programs across calls (capped at R: when most rays are
+        # uncertain this degenerates to a full retrace at the higher caps,
+        # never more); fill slots point out of range so their scatters
+        # drop (jax .at[] default mode).
+        n_pad = min(R, max(256, 1 << (n_unc - 1).bit_length()))
         idx_p = jnp.nonzero(uncertain, size=n_pad, fill_value=R)[0]
         idx_c = jnp.minimum(idx_p, R - 1)
         sub = trace_visibility(bvh, rays_o[idx_c], rays_d[idx_c], kc,
