@@ -23,22 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def sync(x):
+    """True sync: on the axon runtime block_until_ready can return before
+    execution completes; only a value transfer reliably waits."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timed(label, fn, *args, iters=10):
-    """Chained timing: each iteration's first arg consumes a value derived
-    from the previous output, so the device can't collapse identical
-    queued dispatches (observed on the axon runtime: N identical queued
-    programs returned in ~0 time)."""
     out = fn(*args)
-    jax.block_until_ready(out)
-    feed = jax.tree_util.tree_leaves(out)[0]
+    sync(out)
     t0 = time.time()
     for _ in range(iters):
-        a0 = jax.tree_util.tree_map(
-            lambda x: x + 0 * feed.ravel()[0].astype(x.dtype)
-            if hasattr(x, "dtype") and x.dtype.kind == "f" else x, args[0])
-        out = fn(a0, *args[1:])
-        feed = jax.tree_util.tree_leaves(out)[0]
-    jax.block_until_ready(out)
+        out = fn(*args)
+    sync(out)
     dt = (time.time() - t0) / iters
     print(f"{label}: {dt*1e3:.1f} ms", flush=True)
     return dt

@@ -21,6 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def sync(x):
+    """True sync: on the axon runtime block_until_ready can return before
+    execution completes; only a value transfer reliably waits."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def main():
     from relightable3dgaussian_tpu.ops import ray_trace as rt
     from relightable3dgaussian_tpu.utils.graphics import \
@@ -40,7 +47,7 @@ def main():
     rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
     op = jax.random.uniform(ks[3], (n,), minval=0.3, maxval=0.95)
     bvh = rt.build_bvh(xyz, scl, rot, op, nrm)
-    jax.block_until_ready(bvh.feat)
+    sync(bvh.feat)
 
     dirs, _ = fibonacci_sphere_sampling(nrm, s_trace, key=None)
     ro = jnp.broadcast_to(xyz[:, None], (n, s_trace, 3)).reshape(-1, 3)
@@ -51,11 +58,11 @@ def main():
     # ---- full trace (warm + steady)
     t0 = time.time()
     out = rt.trace_visibility(bvh, ro, rd)
-    jax.block_until_ready(out["visibility"])
+    sync(out["visibility"])
     print(f"full warm: {time.time()-t0:.2f}s", flush=True)
     t0 = time.time()
     out = rt.trace_visibility(bvh, ro, rd)
-    jax.block_until_ready(out["visibility"])
+    sync(out["visibility"])
     dt_full = time.time() - t0
     print(f"full steady: {dt_full:.2f}s = {R/dt_full/1e6:.2f}M rays/s",
           flush=True)
@@ -81,7 +88,7 @@ def main():
     t0 = time.time()
     perm = jnp.argsort(key)
     ro_s, rd_s = ro2[perm], rd2[perm]
-    jax.block_until_ready(ro_s)
+    sync(ro_s)
     print(f"ray sort: {time.time()-t0:.2f}s", flush=True)
 
     inv_d = 1.0 / jnp.where(jnp.abs(rd_s) < 1e-12,
@@ -110,11 +117,11 @@ def main():
 
     t0 = time.time()
     sel, qbits, ovf = cull_all(OB, IB)
-    jax.block_until_ready(sel)
+    sync(sel)
     print(f"cull warm: {time.time()-t0:.2f}s", flush=True)
     t0 = time.time()
     sel, qbits, ovf = cull_all(OB, IB)
-    jax.block_until_ready(sel)
+    sync(sel)
     dt_cull = time.time() - t0
     print(f"cull steady: {dt_cull:.2f}s ({dt_cull/dt_full*100:.0f}% of full)",
           flush=True)
@@ -134,12 +141,12 @@ def main():
         t0 = time.time()
         log_T, cnt = rt._eval_blocks_pallas(bvh, ro_s[:trim], rd_s[:trim],
                                             sel_flat, B, qmask=qm)
-        jax.block_until_ready(log_T)
+        sync(log_T)
         print(f"eval[{label}] warm: {time.time()-t0:.2f}s", flush=True)
         t0 = time.time()
         log_T, cnt = rt._eval_blocks_pallas(bvh, ro_s[:trim], rd_s[:trim],
                                             sel_flat, B, qmask=qm)
-        jax.block_until_ready(log_T)
+        sync(log_T)
         dt_eval = time.time() - t0
         print(f"eval[{label}] steady: {dt_eval:.2f}s "
               f"({dt_eval/dt_full*100:.0f}% of full)", flush=True)
@@ -158,10 +165,10 @@ def main():
         return outs
 
     o1 = cull_l1(OB, IB)
-    jax.block_until_ready(o1)
+    sync(o1)
     t0 = time.time()
     o1 = cull_l1(OB, IB)
-    jax.block_until_ready(o1)
+    sync(o1)
     print(f"cull L1-slab-only steady: {time.time()-t0:.2f}s", flush=True)
 
 

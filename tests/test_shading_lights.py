@@ -114,6 +114,18 @@ class TestRenderingEquation:
         assert float(extras["local_incident_lights"].min()) >= 0.0
 
 
+def _grad_through(img, gx, gy, gate):
+    """d(sum of samples)/d(table) with the one-hot gate pinned to `gate`."""
+    orig = lights._ONEHOT_TEXELS
+    try:
+        lights._ONEHOT_TEXELS = gate
+        g = jax.grad(lambda i: lights.grid_sample_bilinear(
+            i, jnp.asarray(gx), jnp.asarray(gy)).sum())(jnp.asarray(img))
+    finally:
+        lights._ONEHOT_TEXELS = orig
+    return np.asarray(g)
+
+
 class TestGridSample:
     def test_matches_torch_grid_sample(self):
         torch = pytest.importorskip("torch")
@@ -132,6 +144,31 @@ class TestGridSample:
                                mode="bilinear", padding_mode="zeros")
         theirs = theirs[0, :, 0].T.numpy()
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
+
+    def test_onehot_path_matches_gather_path(self):
+        """The separable one-hot matmul path (small tables) and the gather
+        path (big tables) must agree: sample the SAME image through both
+        by straddling the _ONEHOT_TEXELS gate."""
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(16, 32, 3)).astype(np.float32)  # 512 texels
+        gx = rng.uniform(-1.2, 1.2, size=(400,)).astype(np.float32)
+        gy = rng.uniform(-1.2, 1.2, size=(400,)).astype(np.float32)
+        small = lights.grid_sample_bilinear(
+            jnp.asarray(img), jnp.asarray(gx), jnp.asarray(gy))
+        orig = lights._ONEHOT_TEXELS
+        try:
+            lights._ONEHOT_TEXELS = 0  # force the gather path
+            big = lights.grid_sample_bilinear(
+                jnp.asarray(img), jnp.asarray(gx), jnp.asarray(gy))
+        finally:
+            lights._ONEHOT_TEXELS = orig
+        np.testing.assert_allclose(np.asarray(small), np.asarray(big),
+                                   atol=1e-5)
+        # gradients wrt the table must also agree (matmul vs scatter AD)
+        f = lambda i, gate: _grad_through(i, gx, gy, gate)
+        g_small = f(img, orig)
+        g_big = f(img, 0)
+        np.testing.assert_allclose(g_small, g_big, atol=1e-5)
 
     def test_equirect_query_poles_and_equator(self):
         H = 8
