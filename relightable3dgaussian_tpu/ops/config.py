@@ -28,9 +28,11 @@ class RasterConfig:
     scale_modifier: float = 1.0
     compute_pseudo_normal: bool = True
     white_background: bool = False
-    # Use the Pallas compositor kernel as the forward primal on TPU (the
-    # backward always differentiates the jnp compositor; both agree
-    # numerically). Ignored on non-TPU backends.
+    # Use the Pallas kernels on TPU: the forward primal is the Pallas
+    # compositor and the trained backward is the Pallas single-walk kernel
+    # (ops/composite_pallas_bwd.py), parity-locked against the
+    # differentiable jnp segmented-scan compositor, which remains the
+    # oracle and the non-TPU path. Ignored on non-TPU backends.
     use_pallas: bool = True
     # Accumulate per-gaussian blend weights (needed for training/densify
     # stats; pure rendering can skip the extra DMA round-trips).
