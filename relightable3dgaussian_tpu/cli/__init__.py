@@ -34,6 +34,43 @@ def auto_plan_config(cfg, params, active, cameras, args=None):
     return new_cfg
 
 
+def add_trace_args(parser):
+    """Visibility-tracer cap flags shared by every stage-2 CLI."""
+    parser.add_argument("--trace_max_clusters", type=int, default=0,
+                        help="visibility-tracer candidate-cluster cap "
+                             "(0 = auto-size from a measured probe, "
+                             "ops.ray_trace.probe_trace_caps)")
+    parser.add_argument("--trace_max_supers", type=int, default=0,
+                        help="visibility-tracer supercluster cap (0 = auto)")
+
+
+def trace_caps_from_args(args):
+    """kwargs for update_visibility from the --trace_* flags (0 = auto)."""
+    return dict(
+        max_clusters=getattr(args, "trace_max_clusters", 0) or None,
+        max_supers=getattr(args, "trace_max_supers", 0) or None)
+
+
+def sharded_shading_from_args(args):
+    """Point-sharded eval shading for `--n_devices N` CLIs (N > 1), else
+    None (host-chunked single-device path). SURVEY §2.3 item 2: the
+    reference's eval shading chunk loop (neilf.py:98-113) becomes a
+    shard_map over the P axis."""
+    n = getattr(args, "n_devices", 1) or 1
+    if n <= 1:
+        return None
+    import jax
+
+    from ..parallel import make_mesh
+    from ..parallel.point_sharded import make_sharded_shading
+    if len(jax.devices()) < n:
+        raise SystemExit(f"--n_devices {n} requested but only "
+                         f"{len(jax.devices())} devices are visible")
+    print(f"Eval shading point-sharded over {n} devices")
+    return make_sharded_shading(make_mesh(jax.devices()[:n]),
+                                full_extras=True)
+
+
 def sharded_trace_from_args(args):
     """Ray-sharded visibility tracer for `--n_devices N` CLIs (N > 1), else
     None (single-device adaptive tracer). SURVEY §2.3 item 2: the

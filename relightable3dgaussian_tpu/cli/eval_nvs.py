@@ -97,7 +97,10 @@ def main(argv=None):
     parser.add_argument("--no_auto_plan", action="store_true",
                         help="disable measured binning auto-sizing")
     parser.add_argument("--n_devices", type=int, default=1,
-                        help="shard visibility-trace rays over N devices")
+                        help="shard visibility-trace rays and eval shading "
+                             "over N devices")
+    from . import add_trace_args
+    add_trace_args(parser)
     args = get_combined_args(parser, argv)
     model_cfg = extract(ModelConfig, args)
     pipe = extract(PipelineConfig, args)
@@ -115,11 +118,17 @@ def main(argv=None):
     out_dir = model_cfg.model_path
 
     env = vis = None
+    sharded_shading = None
     if is_pbr:
         from ..models.lights import init_direct_light
-        from . import sharded_trace_from_args
+        from . import (sharded_shading_from_args, sharded_trace_from_args,
+                       trace_caps_from_args)
+        from .train import report_trace_stats
         vis = update_visibility(params, active, pipe.sample_num,
-                                sharded_trace=sharded_trace_from_args(args))
+                                sharded_trace=sharded_trace_from_args(args),
+                                verbose=True, **trace_caps_from_args(args))
+        report_trace_stats(vis)
+        sharded_shading = sharded_shading_from_args(args)
         env_path = (os.path.join(os.path.dirname(args.checkpoint),
                                  "env_light_" +
                                  os.path.basename(args.checkpoint))
@@ -151,7 +160,8 @@ def main(argv=None):
             @jax.jit
             def _render_view(view):
                 return render_neilf(view, params, active, cfg, bg, env, vis,
-                                    is_training=False)
+                                    is_training=False,
+                                    sharded_shading=sharded_shading)
         else:
             cfg = raster_config(cams, 5, model_cfg.white_background,
                                 args=args)

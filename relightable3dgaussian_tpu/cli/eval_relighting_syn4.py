@@ -56,7 +56,10 @@ def main(argv=None):
     parser.add_argument("--no_auto_plan", action="store_true",
                         help="disable measured binning auto-sizing")
     parser.add_argument("--n_devices", type=int, default=1,
-                        help="shard visibility-trace rays over N devices")
+                        help="shard visibility-trace rays and eval shading "
+                             "over N devices")
+    from . import add_trace_args
+    add_trace_args(parser)
     args = get_combined_args(parser, argv)
     model_cfg = extract(ModelConfig, args)
     pipe = extract(PipelineConfig, args)
@@ -64,9 +67,14 @@ def main(argv=None):
     params, active, it = load_model(args, model_cfg, is_pbr=True)
     print(f"Loaded model at iteration {it}")
     print(f"Tracing visibility ({pipe.sample_num} samples)...")
-    from . import sharded_trace_from_args
+    from . import (sharded_shading_from_args, sharded_trace_from_args,
+                   trace_caps_from_args)
+    from .train import report_trace_stats
     vis = update_visibility(params, active, pipe.sample_num,
-                            sharded_trace=sharded_trace_from_args(args))
+                            sharded_trace=sharded_trace_from_args(args),
+                            verbose=True, **trace_caps_from_args(args))
+    report_trace_stats(vis)
+    sharded_shading = sharded_shading_from_args(args)
 
     scale = None
     for key, val in BASE_COLOR_SCALE.items():
@@ -120,7 +128,8 @@ def main(argv=None):
                 cfg = auto_plan_config(cfg, params, active, [cam], args)
             res = render_neilf(cam.view_inputs(), params, active, cfg, bg,
                                env, vis, is_training=False,
-                               base_color_scale=scale)
+                               base_color_scale=scale,
+                               sharded_shading=sharded_shading)
 
             pbr = np.asarray(res["pbr"]) * mask + (1 - mask) * bg_val
             pbr_env = (np.asarray(res["pbr"]) * mask

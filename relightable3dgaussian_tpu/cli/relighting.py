@@ -93,7 +93,10 @@ def main(argv=None):
     parser.add_argument("-bg", "--background_color", type=float, default=None)
     parser.add_argument("--sample_num", type=int, default=64)
     parser.add_argument("--n_devices", type=int, default=1,
-                        help="shard visibility-trace rays over N devices")
+                        help="shard visibility-trace rays and eval shading "
+                             "over N devices")
+    from . import add_trace_args
+    add_trace_args(parser)
     parser.add_argument("--video", action="store_true")
     parser.add_argument("--output", default="./capture_trace")
     parser.add_argument("--capture_list", default="pbr_env")
@@ -110,9 +113,14 @@ def main(argv=None):
 
     from ..models.render_neilf import update_visibility
     print(f"Tracing visibility ({args.sample_num} samples)...")
-    from . import sharded_trace_from_args
+    from . import (sharded_shading_from_args, sharded_trace_from_args,
+                   trace_caps_from_args)
+    from .train import report_trace_stats
     vis = update_visibility(params, active, args.sample_num,
-                            sharded_trace=sharded_trace_from_args(args))
+                            sharded_trace=sharded_trace_from_args(args),
+                            verbose=True, **trace_caps_from_args(args))
+    report_trace_stats(vis)
+    sharded_shading = sharded_shading_from_args(args)
 
     capture_list = [s.strip() for s in args.capture_list.split(",")]
     for t in capture_list:
@@ -146,7 +154,8 @@ def main(argv=None):
         env_i = env._replace(transform=transform)
 
         res = render_neilf(cam.view_inputs(), params, active, cfg, bg,
-                           env_i, vis, is_training=False)
+                           env_i, vis, is_training=False,
+                           sharded_shading=sharded_shading)
         for t in capture_list:
             if t == "points":
                 img = render_points(cam.camera_params(), params, active, H, W,

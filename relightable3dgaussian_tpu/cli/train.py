@@ -33,6 +33,23 @@ from ..utils.image import psnr as psnr_fn
 from .arguments import build_parser, extract_all, save_cfg_args
 
 
+def report_trace_stats(vis) -> None:
+    """Log tracer cap overflow; warn only on POSSIBLY-WRONG rays (vis > 0
+    with overflow — overflow on a dead ray is certain, since dropped
+    candidates only brighten)."""
+    if vis.overflow_rays is None:
+        return
+    ov = int(np.asarray(vis.overflow_rays))
+    unc = (int(np.asarray(vis.uncertain_rays))
+           if vis.uncertain_rays is not None else ov)
+    total = vis.visibility.shape[0] * vis.visibility.shape[1]
+    print(f"[trace] overflow_rays={ov}/{total} uncertain_rays={unc}")
+    if unc:
+        print(f"[trace] WARNING: {unc} rays remain possibly biased bright "
+              "after cap escalation; raise --trace_max_clusters/"
+              "--trace_max_supers")
+
+
 def pick_capacity(n: int, requested: int = 0) -> int:
     if requested > 0:
         return max(requested, n)
@@ -148,16 +165,12 @@ def training(args) -> None:
                   f"rays sharded over {n_devices_early} devices)...")
         else:
             print(f"Tracing visibility ({pipe.sample_num} samples)...")
+        from . import trace_caps_from_args
+        trace_caps = trace_caps_from_args(args)
         vis = update_visibility(params, aux.active, pipe.sample_num,
-                                sharded_trace=sharded_trace)
-        if vis.overflow_rays is not None:
-            ov_rays = int(np.asarray(vis.overflow_rays))
-            if ov_rays:
-                total_rays = vis.visibility.shape[0] * vis.visibility.shape[1]
-                print(f"[trace] WARNING: {ov_rays}/{total_rays} rays hit the "
-                      f"candidate caps (<= {int(np.asarray(vis.overflow_total))} "
-                      "clusters dropped — visibility may be biased bright; "
-                      "raise max_clusters/max_supers)")
+                                sharded_trace=sharded_trace, verbose=True,
+                                **trace_caps)
+        report_trace_stats(vis)
         env = init_direct_light(model_cfg.env_resolution, opt.light_init)
         env_state = init_array_adam(env.env)
         env_ckpt = (os.path.join(os.path.dirname(args.checkpoint),
@@ -383,7 +396,8 @@ def training(args) -> None:
             spatial_lr_scale, extent, first_iter, state, callback,
             n_devices=n_devices, env_upsample_iters=ups,
             vis_refresh=getattr(args, "vis_refresh_interval", 0) or 0,
-            sample_num=pipe.sample_num, sharded_trace=sharded_trace)
+            sample_num=pipe.sample_num, sharded_trace=sharded_trace,
+            trace_caps=trace_caps)
 
     state.update(params=params, aux=aux, opt_state=opt_state, env=env,
                  env_state=env_state)
@@ -522,7 +536,7 @@ def _grow_opt_state(opt_state, params):
 def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
                 spatial_lr_scale, extent, first_iter, state, callback,
                 n_devices=1, env_upsample_iters=(), vis_refresh=0,
-                sample_num=24, sharded_trace=None):
+                sample_num=24, sharded_trace=None, trace_caps=None):
     rng = np.random.default_rng(0)
     stack = []
     use_dp = n_devices > 1
@@ -547,7 +561,8 @@ def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
             print(f"[ITER {iteration}] re-tracing visibility "
                   f"({sample_num} samples)", flush=True)
             vis_new = update_visibility(params, aux.active, sample_num,
-                                        sharded_trace=sharded_trace)
+                                        sharded_trace=sharded_trace,
+                                        **(trace_caps or {}))
             vis = replicate(vis_new, mesh) if use_dp else vis_new
         if iteration in env_upsample_iters:
             # Progressive env-map refinement (reference DirectLightMap
@@ -683,6 +698,8 @@ def main(argv=None):
     parser.add_argument("--chunk", type=int, default=0)
     parser.add_argument("--max_chunks_per_tile", type=int, default=0)
     parser.add_argument("--max_tiles_per_gaussian", type=int, default=0)
+    from . import add_trace_args
+    add_trace_args(parser)
     parser.add_argument("--save_interval", type=int, default=5000)
     parser.add_argument("--checkpoint_interval", type=int, default=5000)
     parser.add_argument("--log_interval", type=int, default=100)

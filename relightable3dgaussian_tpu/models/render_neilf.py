@@ -16,7 +16,7 @@ from .. import losses
 from ..ops.camera import pixel_directions
 from ..ops.config import RasterConfig
 from ..ops.rasterize import rasterize
-from ..ops.ray_trace import (build_bvh, trace_visibility,
+from ..ops.ray_trace import (build_bvh, probe_trace_caps, trace_visibility,
                              trace_visibility_adaptive)
 from ..ops.shading import rendering_equation
 from ..train.config import OptimizationConfig
@@ -46,18 +46,31 @@ class VisibilityCache(NamedTuple):
     incident_areas: jnp.ndarray  # [P, S, 1]
     overflow_rays: jnp.ndarray | None = None   # [] rays with any overflow
     overflow_total: jnp.ndarray | None = None  # [] dropped-cluster bound
+    # rays whose result is POSSIBLY WRONG: vis > 0 AND overflowed (dropped
+    # candidates only brighten, so overflow with vis == 0 is still certain).
+    # 0 after a successful adaptive/sharded escalation.
+    uncertain_rays: jnp.ndarray | None = None
 
 
 def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
-                      sample_num: int, max_clusters: int = 96,
-                      ray_chunk: int = 128,
-                      sharded_trace=None) -> VisibilityCache:
+                      sample_num: int, max_clusters: int | None = None,
+                      ray_chunk: int = 128, max_supers: int | None = None,
+                      sharded_trace=None, verbose: bool = False
+                      ) -> VisibilityCache:
     """Trace visibility at Fibonacci directions around each point's normal
     (gaussian_model.py:312-342 `update_visibility`; deterministic sampling,
     random_rotate=False). Pass `sharded_trace` (from
     `parallel.point_sharded.make_sharded_trace`) to spread the P*S rays over
     a device mesh — the multi-chip analogue of the reference's chunk loop
-    (gaussian_model.py:322-336)."""
+    (gaussian_model.py:322-336).
+
+    Candidate caps default to a MEASURED plan: with concrete rays and no
+    explicit caps, `probe_trace_caps` sizes (max_supers, max_clusters) from
+    the per-block hit distribution of a probe subset — the tracer analogue
+    of the tile-binning auto-plan (the CUDA reference never silently
+    undersizes: it resizes buffers per call, rasterizer_impl.cu:199-230).
+    Under jit (tracer rays) the probe can't run; unset caps fall back to
+    (32, 96)."""
     xyz = params.xyz
     normal = G.get_normal(params)
     dirs, areas = fibonacci_sphere_sampling(normal, sample_num, key=None)
@@ -66,27 +79,48 @@ def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
     P, S, _ = dirs.shape
     rays_o = jnp.broadcast_to(xyz[:, None], (P, S, 3)).reshape(-1, 3)
     rays_d = dirs.reshape(-1, 3)
+    concrete = not isinstance(rays_o, jax.core.Tracer)
+    if concrete and (max_clusters is None or max_supers is None):
+        plan = probe_trace_caps(bvh, rays_o, rays_d, ray_chunk=ray_chunk)
+        if max_clusters is None:
+            max_clusters = plan["max_clusters"]
+        if max_supers is None:
+            max_supers = plan["max_supers"]
+        if verbose:
+            print(f"[trace plan] max_supers={max_supers} "
+                  f"max_clusters={max_clusters} "
+                  f"(probe max: {plan['supers_needed_max']} supers, "
+                  f"{plan['clusters_needed_max']} clusters over "
+                  f"{plan['probe_blocks']} blocks)", flush=True)
+    if max_clusters is None:
+        max_clusters = 96
+    if max_supers is None:
+        max_supers = 32
     if sharded_trace is not None:
         vis_flat, overflow = sharded_trace(bvh, rays_o, rays_d,
-                                           with_overflow=True)
+                                           with_overflow=True,
+                                           max_clusters=max_clusters,
+                                           max_supers=max_supers)
         vis = vis_flat.reshape(P, S, 1)
     else:
         # Concrete rays get the cap-escalating tracer (retraces the few
         # possibly-wrong rays until exact); under jit the single-pass
         # tracer runs with the caps given.
-        tracer_fn = (trace_visibility if isinstance(rays_o, jax.core.Tracer)
-                     else trace_visibility_adaptive)
+        tracer_fn = (trace_visibility_adaptive if concrete
+                     else trace_visibility)
         out = tracer_fn(bvh, rays_o, rays_d, max_clusters=max_clusters,
-                        ray_chunk=ray_chunk)
+                        ray_chunk=ray_chunk, max_supers=max_supers)
         vis = out["visibility"].reshape(P, S, 1)
         overflow = out["overflow"]
     vis = jnp.where(active[:, None, None], vis, 0.0)
     ray_active = jnp.broadcast_to(active[:, None], (P, S)).reshape(-1)
     overflow = jnp.where(ray_active, overflow, 0)
+    uncertain = (vis.reshape(-1) > 0.0) & (overflow > 0)
     return VisibilityCache(visibility=vis, incident_dirs=dirs,
                            incident_areas=areas,
                            overflow_rays=(overflow > 0).sum(),
-                           overflow_total=overflow.sum())
+                           overflow_total=overflow.sum(),
+                           uncertain_rays=uncertain.sum())
 
 
 # Cap on P*S shading samples per dispatch: the rendering equation holds
@@ -97,11 +131,34 @@ _SHADE_CHUNK_SAMPLES = 4_000_000
 
 
 def _shade_points(base_color, roughness, normal, viewdirs, incidents,
-                  env, vis: VisibilityCache):
-    """rendering_equation, host-chunked over points on the concrete
-    (eval) path when P*S is big; single fused dispatch under jit."""
+                  env, vis: VisibilityCache, sharded_shading=None):
+    """rendering_equation — P-sharded over the mesh when `sharded_shading`
+    (from parallel.point_sharded.make_sharded_shading, full_extras=True) is
+    given, else host-chunked over points on the concrete (eval) path when
+    P*S is big, else a single fused dispatch."""
     P, S = vis.visibility.shape[:2]
     light_fn = lambda d: query_light(env, d)  # noqa: E731
+    if sharded_shading is not None:
+        # Point-sharded eval shading (SURVEY §2.3 item 2; replaces the
+        # reference's 100k-point chunk loop, neilf.py:98-113). Pad P to
+        # mesh divisibility; per-sample extras come back as sample means,
+        # restored to the [P, 1, ...] contract of the mean(-2) consumers.
+        m = sharded_shading.mesh.size
+        pad = (-P) % m
+
+        def padp(x):
+            return (jnp.concatenate([x, jnp.tile(x[-1:], (pad,)
+                    + (1,) * (x.ndim - 1))]) if pad else x)
+
+        pbr, red = sharded_shading(
+            padp(base_color), padp(roughness), padp(normal), padp(viewdirs),
+            padp(incidents), env, padp(vis.visibility),
+            padp(vis.incident_dirs), padp(vis.incident_areas))
+        extras = {k: v[:P] for k, v in red.items()}
+        for k in ("incident_lights", "local_incident_lights",
+                  "global_incident_lights", "incident_visibility"):
+            extras[k] = extras[k][:, None]
+        return pbr[:P], extras
     if isinstance(base_color, jax.core.Tracer) or P * S <= _SHADE_CHUNK_SAMPLES:
         return rendering_equation(base_color, roughness, normal, viewdirs,
                                   incidents, light_fn, vis.visibility,
@@ -135,7 +192,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 env: DirectLightParams, vis: VisibilityCache,
                 is_training: bool,
                 mean2d_offset: jnp.ndarray | None = None,
-                base_color_scale: jnp.ndarray | None = None) -> dict[str, Any]:
+                base_color_scale: jnp.ndarray | None = None,
+                sharded_shading=None) -> dict[str, Any]:
     cam = view.cam
     base_color = G.get_base_color(params)
     if base_color_scale is not None:
@@ -150,7 +208,7 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
 
     pbr, extras = _shade_points(
         base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
-        G.get_incidents(params), env, vis)
+        G.get_incidents(params), env, vis, sharded_shading)
 
     xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
     depths = (xyz1 @ cam.world_view)[:, 2:3]
@@ -339,10 +397,12 @@ def render_neilf(view: ViewInputs, params: G.GaussianParams,
                  vis: VisibilityCache, opt: OptimizationConfig | None = None,
                  is_training: bool = False,
                  mean2d_offset: jnp.ndarray | None = None,
-                 base_color_scale: jnp.ndarray | None = None) -> dict[str, Any]:
+                 base_color_scale: jnp.ndarray | None = None,
+                 sharded_shading=None) -> dict[str, Any]:
     """Stage-2 entry point (reference `render_neilf`, neilf.py:321-336)."""
     results = render_view(params, active, view, cfg, bg_color, env, vis,
-                          is_training, mean2d_offset, base_color_scale)
+                          is_training, mean2d_offset, base_color_scale,
+                          sharded_shading)
     if is_training:
         assert opt is not None
         loss, tb = calculate_loss(view, params, active, results, opt, env)

@@ -696,6 +696,125 @@ def _trace_sorted_jit(bvh: GaussianBVH, rays_o, rays_d, max_clusters: int,
         flat(overflow.reshape(-1))
 
 
+def _coherent_order(bvh: GaussianBVH, rays_o, rays_d, dir_res: int):
+    """Sort permutation grouping rays into coherent bundles: octahedral
+    direction bin major, origin Morton cell minor. Finer direction bins
+    matter most — the per-block candidate union scales with the bundle's
+    angular spread times the travel distance (a diverging cone sweeps
+    cluster area ~ aperture²).
+
+    Sort + permutation + unsort all stay ON DEVICE: the XLA sort is
+    ~0.2s/6.4M rays once compiled (the compilation cache makes that a
+    one-time cost), device gathers run at HBM speed, and the axon
+    dev->host link is far too slow (~1.5 MB/s measured) for any host-side
+    radix sort to win."""
+    dbin = _direction_bins(rays_d, res=dir_res)
+    dir_bits = 2 * (dir_res - 1).bit_length()
+    code = morton_codes(rays_o, lo=bvh.cluster_lo.min(0),
+                        hi=bvh.cluster_hi.max(0))
+    morton_bits = 32 - dir_bits
+    key = ((dbin << jnp.uint32(morton_bits))
+           | (code >> jnp.uint32(max(0, 30 - morton_bits))))
+    return jnp.argsort(key)
+
+
+@jax.jit
+def _probe_counts(bvh: GaussianBVH, o, inv_d):
+    """Per-block candidate-union sizes for cap planning: o/inv_d [G, B, 3]
+    coherent blocks. Returns (supers_needed [G], quads_needed [G]) — the
+    number of superclusters / feature QUADs some ray of the block slab-hits.
+    A (max_supers, max_clusters) cap covering these unions makes the block
+    overflow-free: a hit cluster's AABB is contained in its parent super's,
+    so covering the super union guarantees the cluster candidates are all
+    visible to the level-2 selection. Scans in sub-chunks of 16 blocks —
+    the [g, B, C] slab temporaries stay tens of MB instead of GB."""
+    pad_lo, pad_hi = _padded_cluster_aabbs(bvh)
+    c_lo = pad_lo.reshape(-1, 3)
+    c_hi = pad_hi.reshape(-1, 3)
+    G_, B = o.shape[:2]
+    g = min(16, G_)
+    gpad = (-G_) % g
+    if gpad:
+        o = jnp.concatenate([o, jnp.tile(o[-1:], (gpad, 1, 1))])
+        inv_d = jnp.concatenate([inv_d, jnp.tile(inv_d[-1:], (gpad, 1, 1))])
+
+    def body(_, oi):
+        oc, ic = oi
+        s_hit = _axis_slab(bvh.super_lo[None, None],
+                           bvh.super_hi[None, None],
+                           oc[:, :, None], ic[:, :, None])    # [g, B, S]
+        c_hit = _axis_slab(c_lo[None, None], c_hi[None, None],
+                           oc[:, :, None], ic[:, :, None])    # [g, B, Cp]
+        return None, (s_hit.any(1).sum(-1),
+                      c_hit.reshape(g, B, -1, QUAD).any((1, 3)).sum(-1))
+
+    _, (s_need, q_need) = jax.lax.scan(
+        body, None, (o.reshape(-1, g, B, 3), inv_d.reshape(-1, g, B, 3)))
+    return s_need.reshape(-1)[:G_], q_need.reshape(-1)[:G_]
+
+
+def probe_trace_caps(bvh: GaussianBVH, rays_o: jnp.ndarray,
+                     rays_d: jnp.ndarray, ray_chunk: int = 128,
+                     dir_res: int = 16, n_probe_blocks: int = 256,
+                     coverage: float = 0.98, margin: float = 1.25):
+    """Measure candidate-set sizes on a probe subset of coherent ray blocks
+    and pick (max_supers, max_clusters) so that >= `coverage` of blocks fit
+    entirely within the caps (zero overflow for every ray of a covered
+    block; the rest is retraced by the adaptive escalation).
+
+    The TPU analogue of the CUDA host sizing its buffers from the measured
+    `num_rendered` (rasterizer_impl.cu:199-230): instead of hardcoded caps
+    that silently undersize dense scenes, the caps come from the measured
+    per-block hit distribution — same policy as the tile-binning plan
+    (train/autotune.py). Concrete rays only (uses host quantiles).
+
+    Returns a dict: {"max_supers", "max_clusters", plus probe statistics}.
+    """
+    R = rays_o.shape[0]
+    rays_o = rays_o.astype(jnp.float32) + 0.05 * rays_d.astype(jnp.float32)
+    rays_d = rays_d.astype(jnp.float32)
+    B = ray_chunk
+    pad = (-R) % B
+    if pad:
+        rays_o = jnp.concatenate([rays_o, jnp.tile(rays_o[-1:], (pad, 1))])
+        rays_d = jnp.concatenate([rays_d, jnp.tile(rays_d[-1:], (pad, 1))])
+    Rp = rays_o.shape[0]
+    n_blocks = Rp // B
+    if Rp > B:
+        perm = _coherent_order(bvh, rays_o, rays_d, dir_res)
+    else:
+        perm = jnp.arange(Rp)
+    take = min(n_probe_blocks, n_blocks)
+    bidx = np.unique(np.linspace(0, n_blocks - 1, take).astype(np.int64))
+    ridx = jnp.asarray((bidx[:, None] * B
+                        + np.arange(B)[None, :]).reshape(-1))
+    sel = perm[ridx]
+    o = rays_o[sel].reshape(-1, B, 3)
+    d = rays_d[sel].reshape(-1, B, 3)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                            jnp.where(d >= 0, 1e-12, -1e-12), d)
+    s_need, q_need = _probe_counts(bvh, o, inv_d)
+    s_need = np.asarray(s_need)
+    q_need = np.asarray(q_need)
+
+    n_super = bvh.super_lo.shape[0]
+    n_clusters = bvh.cluster_lo.shape[0]
+    ks = int(np.ceil(float(np.quantile(s_need, coverage)) * margin))
+    kq = int(np.ceil(float(np.quantile(q_need, coverage)) * margin))
+    # Snap for compile-cache stability: supers to multiples of 4, cluster
+    # caps to whole Pallas fetch steps (_KCH quads of QUAD clusters).
+    ks = min(max(4, -(-ks // 4) * 4), n_super)
+    kc = min(max(QUAD * _KCH, -(-kq // _KCH) * _KCH * QUAD), n_clusters)
+    return {
+        "max_supers": ks,
+        "max_clusters": kc,
+        "supers_needed_max": int(s_need.max()),
+        "clusters_needed_max": int(q_need.max()) * QUAD,
+        "probe_blocks": int(len(bidx)),
+        "coverage": coverage,
+    }
+
+
 def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, max_clusters: int = 96,
                      ray_chunk: int = 128, max_supers: int = 32,
@@ -733,23 +852,7 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
     Rp = rays_o.shape[0]
 
     if sort_rays and Rp > B:
-        # Coherent bundles: octahedral direction bin major, origin Morton
-        # cell minor. Finer direction bins matter most — the per-block
-        # candidate union scales with the bundle's angular spread times the
-        # travel distance (a diverging cone sweeps cluster area ~ aperture²).
-        dbin = _direction_bins(rays_d, res=dir_res)
-        dir_bits = 2 * (dir_res - 1).bit_length()
-        code = morton_codes(rays_o, lo=bvh.cluster_lo.min(0),
-                            hi=bvh.cluster_hi.max(0))
-        morton_bits = 32 - dir_bits
-        key = ((dbin << jnp.uint32(morton_bits))
-               | (code >> jnp.uint32(max(0, 30 - morton_bits))))
-        # Sort + permutation + unsort all stay ON DEVICE: the XLA sort is
-        # ~0.2s/6.4M rays once compiled (the compilation cache makes that a
-        # one-time cost), device gathers run at HBM speed, and the axon
-        # dev->host link is far too slow (~1.5 MB/s measured) for any
-        # host-side radix sort to win.
-        perm = jnp.argsort(key)
+        perm = _coherent_order(bvh, rays_o, rays_d, dir_res)
         T, count, overflow = _trace_sorted(
             bvh, rays_o[perm], rays_d[perm], max_clusters, B,
             max_supers, rays_per_chunk, quarter_mask=quarter_mask)
