@@ -34,12 +34,20 @@ import numpy as np
 ALBEDO_A = np.array([0.75, 0.30, 0.22], np.float32)
 ALBEDO_B = np.array([0.20, 0.45, 0.75], np.float32)
 ALBEDO_OCCLUDER = np.array([0.78, 0.62, 0.28], np.float32)
+ALBEDO_GREEN = np.array([0.30, 0.70, 0.40], np.float32)
+ALBEDO_YELLOW = np.array([0.80, 0.80, 0.30], np.float32)
 CHECKER_DEG = 30.0
 ROUGH_BANDS = (0.35, 0.7)
 ROUGH_BAND_DEG = 45.0
-OCCLUDER_CENTER = np.array([0.0, 1.6, 0.0], np.float32)
-OCCLUDER_RADIUS = 0.5
 OCCLUDER_ROUGH = 0.45
+# Tetrahedron edge for unit spheres: gap 0.02 between neighbors. Geometry
+# chosen by a measured search (round 4): with the reference's broad-sky HDR
+# envmaps, a single floating occluder leaves the oracle(V) vs oracle(V=1)
+# gap at 35-46 dB PSNR (occlusion irrelevant); a tight 4-sphere tetrahedron
+# — every sphere shadowed by three neighbors — brings the object-masked gap
+# to ~24 dB (envmap6) / ~22 dB (envmap12), enough signal for the
+# visibility ablation to discriminate.
+TETRA_EDGE = 2.02
 
 
 def main_sphere(center=(0.0, 0.0, 0.0)):
@@ -47,16 +55,33 @@ def main_sphere(center=(0.0, 0.0, 0.0)):
             "albedo": ("checker",), "roughness": ("bands",) + ROUGH_BANDS}
 
 
-def occluder_sphere(center=OCCLUDER_CENTER):
-    return {"center": np.asarray(center, np.float64),
-            "radius": OCCLUDER_RADIUS,
+def occluder_sphere(center=(0.0, 0.0, 0.0), radius=1.0):
+    return {"center": np.asarray(center, np.float64), "radius": radius,
             "albedo": ("const", ALBEDO_OCCLUDER),
             "roughness": ("const", OCCLUDER_ROUGH)}
 
 
+def tetra_centers(edge=TETRA_EDGE):
+    h = edge * np.sqrt(3) / 2
+    return [np.array([0.0, 0.0, 0.0]),
+            np.array([edge, 0.0, 0.0]),
+            np.array([edge / 2, 0.0, h]),
+            np.array([edge / 2, edge * np.sqrt(2.0 / 3.0), h / 3.0])]
+
+
 def occlusion_scene():
-    """Checker+roughness-band sphere with a floating occluder above it."""
-    return [main_sphere(), occluder_sphere()]
+    """Tetrahedron of four unit spheres: checker+roughness-band main sphere
+    plus three constant-albedo spheres with distinct roughness (0.45 /
+    0.6 / 0.3) — every sphere mutually occluded by its three neighbors."""
+    c = tetra_centers()
+    return [main_sphere(c[0]),
+            occluder_sphere(c[1]),
+            {"center": c[2], "radius": 1.0,
+             "albedo": ("const", ALBEDO_GREEN),
+             "roughness": ("const", 0.6)},
+            {"center": c[3], "radius": 1.0,
+             "albedo": ("const", ALBEDO_YELLOW),
+             "roughness": ("const", 0.3)}]
 
 
 def sphere_a_scene():
@@ -65,10 +90,16 @@ def sphere_a_scene():
 
 
 def sphere_b_scene():
-    """The occluder sphere alone, AT THE ORIGIN (composition component B;
+    """The occluder sphere alone at the origin (composition component B;
     composed into place by a pure translation, which keeps normals and the
-    checker/roughness parameterization valid)."""
-    return [occluder_sphere(center=(0.0, 0.0, 0.0))]
+    roughness parameterization valid)."""
+    return [occluder_sphere()]
+
+
+def pair_scene():
+    """A + B composed at tetra spacing (mutual occlusion) — the GT for the
+    composition-relighting quality check (cli/relighting.py workflow)."""
+    return [main_sphere(), occluder_sphere((TETRA_EDGE, 0.0, 0.0))]
 
 
 def convex_scene():

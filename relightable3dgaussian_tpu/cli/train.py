@@ -558,11 +558,18 @@ def _run_stage2(params, aux, opt_state, env, env_state, vis, views, cfg, opt,
             # (train.py:110-112); cheap here, and it removes vis-cache
             # staleness as geometry drifts during stage 2.
             from ..models.render_neilf import update_visibility
-            print(f"[ITER {iteration}] re-tracing visibility "
-                  f"({sample_num} samples)", flush=True)
             vis_new = update_visibility(params, aux.active, sample_num,
                                         sharded_trace=sharded_trace,
                                         **(trace_caps or {}))
+            act = np.asarray(aux.active)
+            mv_old = float(np.asarray(vis.visibility)[act].mean())
+            mv_new = float(np.asarray(vis_new.visibility)[act].mean())
+            # The old/new mean-vis gap is the refresh-stability diagnostic:
+            # a step change in traced visibility forces the fitted light
+            # balance to re-equilibrate (round-3 instability).
+            print(f"[ITER {iteration}] re-traced visibility "
+                  f"({sample_num} samples): mean_vis {mv_old:.4f} -> "
+                  f"{mv_new:.4f}", flush=True)
             vis = replicate(vis_new, mesh) if use_dp else vis_new
         if iteration in env_upsample_iters:
             # Progressive env-map refinement (reference DirectLightMap

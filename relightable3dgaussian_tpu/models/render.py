@@ -35,7 +35,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 bg_color: jnp.ndarray,
                 mean2d_offset: jnp.ndarray | None = None,
                 override_color: jnp.ndarray | None = None,
-                scaling_modifier: float = 1.0) -> dict[str, Any]:
+                scaling_modifier: float = 1.0,
+                w_seed: jnp.ndarray | None = None) -> dict[str, Any]:
     """Splat the scene for one view; returns the reference results dict."""
     del scaling_modifier  # carried by cfg.scale_modifier
     normal = G.get_normal(params)
@@ -47,7 +48,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         params.xyz, G.get_scaling(params), G.get_rotation(params),
         G.get_opacity(params), G.get_shs(params), features,
         cam=cam, cfg=cfg, bg_color=bg_color, active_mask=active,
-        colors_precomp=override_color, mean2d_offset=mean2d_offset)
+        colors_precomp=override_color, mean2d_offset=mean2d_offset,
+        w_seed=w_seed)
 
     mask = (out.n_contrib > 0)[None].astype(out.feature.dtype)
     feat = out.feature / jnp.maximum(out.opacity, 1e-5) * mask
@@ -170,10 +172,11 @@ def render(view: ViewInputs, params: G.GaussianParams, active: jnp.ndarray,
            cfg: RasterConfig, bg_color: jnp.ndarray,
            opt: OptimizationConfig | None = None, is_training: bool = False,
            iteration: jnp.ndarray | int = 0,
-           mean2d_offset: jnp.ndarray | None = None) -> dict[str, Any]:
+           mean2d_offset: jnp.ndarray | None = None,
+           w_seed: jnp.ndarray | None = None) -> dict[str, Any]:
     """Stage-1 entry point (reference `render`, render.py:225-240)."""
     results = render_view(params, active, view.cam, cfg, bg_color,
-                          mean2d_offset)
+                          mean2d_offset, w_seed=w_seed)
     if is_training:
         assert opt is not None
         loss, tb = calculate_loss(view, params, active, results, opt,

@@ -193,7 +193,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 is_training: bool,
                 mean2d_offset: jnp.ndarray | None = None,
                 base_color_scale: jnp.ndarray | None = None,
-                sharded_shading=None) -> dict[str, Any]:
+                sharded_shading=None,
+                w_seed: jnp.ndarray | None = None) -> dict[str, Any]:
     cam = view.cam
     base_color = G.get_base_color(params)
     if base_color_scale is not None:
@@ -228,7 +229,7 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         params.xyz, G.get_scaling(params), G.get_rotation(params),
         G.get_opacity(params), G.get_shs(params), features,
         cam=cam, cfg=cfg, bg_color=bg_color, active_mask=active,
-        mean2d_offset=mean2d_offset)
+        mean2d_offset=mean2d_offset, w_seed=w_seed)
 
     mask = (out.n_contrib > 0)[None].astype(out.feature.dtype)
     feat = out.feature / jnp.maximum(out.opacity, 1e-5) * mask
@@ -398,11 +399,12 @@ def render_neilf(view: ViewInputs, params: G.GaussianParams,
                  is_training: bool = False,
                  mean2d_offset: jnp.ndarray | None = None,
                  base_color_scale: jnp.ndarray | None = None,
-                 sharded_shading=None) -> dict[str, Any]:
+                 sharded_shading=None,
+                 w_seed: jnp.ndarray | None = None) -> dict[str, Any]:
     """Stage-2 entry point (reference `render_neilf`, neilf.py:321-336)."""
     results = render_view(params, active, view, cfg, bg_color, env, vis,
                           is_training, mean2d_offset, base_color_scale,
-                          sharded_shading)
+                          sharded_shading, w_seed=w_seed)
     if is_training:
         assert opt is not None
         loss, tb = calculate_loss(view, params, active, results, opt, env)

@@ -208,11 +208,20 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
                              attrs: jnp.ndarray, cfg: RasterConfig,
                              interpret: bool = False,
                              with_weights: bool = True,
-                             with_walk: bool = True):
+                             with_walk: bool = True,
+                             reduce_weights: bool = True):
     """Forward-only tile compositing on the TPU.
 
     Returns (image [num_tiles, tt, A], weights [P], n_contrib
     [num_tiles, tt]). Matches ops.composite.composite numerically.
+
+    With `reduce_weights=False` the expensive [B]→[P] rank scatter is
+    skipped and the `weights` slot instead holds the folded PER-SLOT sums
+    ([B]); `composite_fast_seeded` piggybacks their reduction onto the
+    backward's single fused scatter (scatter-adds on TPU are index-bound at
+    ~9 ms per call at bench scale regardless of width, measured in
+    examples/profile_scatter.py — one fused scatter is ~9 ms cheaper per
+    train step than two).
     """
     P, A = attrs.shape
     # HBM→VMEM DMA blocks need a multiple-of-8 sublane dim (f32 tiling);
@@ -300,9 +309,12 @@ def composite_pallas_forward(binning: Binning, mean2d: jnp.ndarray,
         row0 = binning.tile_start // C
         wsum = wsum[:n_rows].at[row0].add(wsum[n_rows:], mode="drop")
         wsum_flat = wsum.reshape(-1)[:B]
-        weights_ds = jnp.zeros((P,), jnp.float32).at[
-            binning.sorted_rank].add(wsum_flat, mode="drop")
-        weights = weights_ds[binning.rank_of]
+        if not reduce_weights:
+            weights = wsum_flat          # [B] per-slot sums, caller reduces
+        else:
+            weights_ds = jnp.zeros((P,), jnp.float32).at[
+                binning.sorted_rank].add(wsum_flat, mode="drop")
+            weights = weights_ds[binning.rank_of]
     else:
         weights = jnp.zeros((P,), jnp.float32)
     return img[:, :, :A], weights, count[:, :, 0], ft
@@ -356,3 +368,78 @@ def _fast_bwd(cfg, residuals, cotangents):
 
 
 composite_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Seeded variant: per-gaussian weights delivered as the COTANGENT of a dummy
+# seed input, so their [B]→[P] reduction rides the backward's single fused
+# scatter instead of paying a second index-bound scatter (~9 ms/step at
+# bench scale, examples/profile_scatter.py). Same trick class as the
+# reference's viewspace-grad channel (screenspace_points.grad,
+# /root/reference/gaussian_renderer/render.py:23-27): the "gradient" of
+# w_seed is DEFINED to be the per-gaussian blend-weight sums, not a true
+# derivative. Valid only when the loss itself never reads the weights
+# (lambda_point_entropy == lambda_orientation == 0 — the defaults); the
+# stage-1/2 train steps gate on exactly that.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def composite_fast_seeded(binning: Binning, mean2d, conic, opacity, attrs,
+                          w_seed, cfg: RasterConfig):
+    """Like composite_fast but without a weights primal output: returns
+    (image, n_contrib); d(anything)/d(w_seed) is the per-gaussian weights."""
+    if (jax.default_backend() == "tpu" and cfg.use_pallas
+            and cfg.chunk % 128 == 0):
+        img, _, count, _ = composite_pallas_forward(
+            binning, mean2d, conic, opacity, attrs, cfg,
+            with_weights=False, with_walk=False)
+    else:
+        from .composite import composite as composite_jnp
+        out = composite_jnp(binning, mean2d, conic, opacity, attrs, cfg)
+        img, count = out.image, out.n_contrib
+    return img, count
+
+
+def _seeded_fwd(binning, mean2d, conic, opacity, attrs, w_seed, cfg):
+    if (jax.default_backend() == "tpu" and cfg.use_pallas
+            and cfg.chunk % 128 == 0):
+        img, wsum_flat, count, ft = composite_pallas_forward(
+            binning, mean2d, conic, opacity, attrs, cfg,
+            with_weights=True, reduce_weights=False)
+        res = (binning, mean2d, conic, opacity, attrs, wsum_flat, ft)
+    else:
+        from .composite import composite as composite_jnp
+        out = composite_jnp(binning, mean2d, conic, opacity, attrs, cfg)
+        img, count = out.image, out.n_contrib
+        res = (binning, mean2d, conic, opacity, attrs, out.weights, None)
+    return (img, count), res
+
+
+def _seeded_bwd(cfg, residuals, cotangents):
+    binning, mean2d, conic, opacity, attrs, wstash, ft = residuals
+    g_img, _ = cotangents
+
+    if ft is not None:
+        from .composite_pallas_bwd import composite_pallas_backward
+        zero_gw = jnp.zeros((mean2d.shape[0],), mean2d.dtype)
+        g_mean2d, g_conic, g_opacity, g_attrs, extra = \
+            composite_pallas_backward(
+                binning, mean2d, conic, opacity, attrs, g_img, zero_gw, cfg,
+                walk_state=ft, extra_slot_vals=wstash[:, None])
+        weights = extra[:, 0]
+    else:
+        from .composite import composite as composite_jnp
+
+        def f(mean2d, conic, opacity, attrs):
+            return composite_jnp(binning, mean2d, conic, opacity, attrs,
+                                 cfg).image
+
+        _, vjp = jax.vjp(f, mean2d, conic, opacity, attrs)
+        g_mean2d, g_conic, g_opacity, g_attrs = vjp(g_img)
+        weights = wstash  # [P], computed by the jnp compositor in fwd
+    g_binning = jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
+    return (g_binning, g_mean2d, g_conic, g_opacity, g_attrs, weights)
+
+
+composite_fast_seeded.defvjp(_seeded_fwd, _seeded_bwd)

@@ -471,7 +471,8 @@ def _bwd_kernel_single(start_ref, end_ref, data_hbm, ggeom_init,
 
 def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
                               attrs, g_img, g_weights, cfg: RasterConfig,
-                              interpret: bool = False, walk_state=None):
+                              interpret: bool = False, walk_state=None,
+                              extra_slot_vals=None):
     """Cotangents (g_mean2d, g_conic, g_opacity, g_attrs) via the Pallas
     backward kernel.
 
@@ -481,6 +482,11 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
       walk_state: optional [num_tiles, tt, 2] forward walk state (final T,
         stop chunk) — with it the single back-to-front walk kernel runs
         (half the chunk walks); without it the two-walk variant.
+      extra_slot_vals: optional [B, E] per-slot values to reduce to [P, E]
+        alongside the gradients — they ride the SAME fused rank scatter
+        (index-bound, so extra channels are nearly free) and come back as a
+        fifth return value. Used to reduce the forward's per-slot blend
+        weights without a second scatter.
     """
     single = walk_state is not None and os.environ.get(
         "R3DG_BWD_TWO_WALK") != "1"
@@ -571,6 +577,13 @@ def composite_pallas_backward(binning: Binning, mean2d, conic, opacity,
     inv = binning.rank_of
     slots = jnp.concatenate([ggeom[:, :6], gattr[:, :A]], axis=1)
     slots = slots.transpose(0, 2, 1).reshape(Bp, 6 + A)[:B]
-    g_all = jnp.zeros((P, 6 + A)).at[rank].add(slots, mode="drop")[inv]
-    return (g_all[:, 0:2], g_all[:, 2:5], g_all[:, 5],
-            g_all[:, 6:6 + A])
+    E = 0
+    if extra_slot_vals is not None:
+        E = extra_slot_vals.shape[-1]
+        slots = jnp.concatenate([slots, extra_slot_vals], axis=-1)
+    g_all = jnp.zeros((P, 6 + A + E)).at[rank].add(slots, mode="drop")[inv]
+    grads = (g_all[:, 0:2], g_all[:, 2:5], g_all[:, 5],
+             g_all[:, 6:6 + A])
+    if extra_slot_vals is not None:
+        return grads + (g_all[:, 6 + A:],)
+    return grads

@@ -26,10 +26,17 @@ from .tiles import bin_gaussians
 def rasterize(means3d, scales, rotations, opacity, shs, features,
               cam: CameraParams, cfg: RasterConfig, bg_color: jnp.ndarray,
               colors_precomp=None, active_mask=None,
-              cov3d_precomp=None, mean2d_offset=None) -> RasterOut:
+              cov3d_precomp=None, mean2d_offset=None,
+              w_seed=None) -> RasterOut:
     """Rasterize P gaussians through the tiled pipeline.
 
     Args match ops.rasterize_dense.rasterize_dense; shapes are static in P.
+
+    `w_seed` ([P], typically zeros): opt into the SEEDED weights path —
+    RasterOut.weights is then zeros and the per-gaussian blend weights are
+    instead delivered as d(outputs)/d(w_seed), reduced on the backward's
+    fused scatter (see composite_fast_seeded). Only valid when no loss term
+    reads the weights values.
     """
     P = means3d.shape[0]
     H, W = cfg.height, cfg.width
@@ -48,12 +55,20 @@ def rasterize(means3d, scales, rotations, opacity, shs, features,
 
     # The Pallas kernels need the chunk (DMA lane dim) 128-aligned; smaller
     # debug/test chunk sizes fall back to the jnp compositor.
-    if (cfg.use_pallas and cfg.chunk % 128 == 0
+    from .composite import CompositeOut
+    if w_seed is not None:
+        from .composite_pallas import composite_fast_seeded
+        image, n_contrib_tiles = composite_fast_seeded(
+            binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, w_seed,
+            cfg)
+        out = CompositeOut(image=image,
+                           weights=jnp.zeros((P,), means3d.dtype),
+                           n_contrib=n_contrib_tiles)
+    elif (cfg.use_pallas and cfg.chunk % 128 == 0
             and jax.default_backend() == "tpu"):
         from .composite_pallas import composite_fast
         image, weights, n_contrib_tiles = composite_fast(
             binning, prep.mean2d, prep.conic, opacity[:, 0], attrs, cfg)
-        from .composite import CompositeOut
         out = CompositeOut(image=image, weights=weights,
                            n_contrib=n_contrib_tiles)
     else:

@@ -62,23 +62,33 @@ def make_dp_train_step(mesh: Mesh, *, cfg: RasterConfig,
         view = jax.tree.map(lambda x: x[0], views)
         bg = (jnp.ones((3,)) if cfg.white_background else jnp.zeros((3,)))
         m2d0 = jnp.zeros((params.capacity, 2))
+        # Seeded weights (see train/stage1.py): stats' blend weights ride
+        # the backward's fused scatter when no loss term reads them.
+        seeded = (opt.lambda_point_entropy == 0.0
+                  and opt.lambda_orientation == 0.0)
+        w0 = jnp.zeros((params.capacity,)) if seeded else None
 
-        def loss_fn(p, m2d):
+        def loss_fn(p, m2d, w):
             results = render(view, p, aux.active, cfg, bg, opt,
                              is_training=True, iteration=iteration,
-                             mean2d_offset=m2d)
+                             mean2d_offset=m2d, w_seed=w)
             return results["loss"], results
 
-        (loss, results), (g_params, g_m2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
+        if seeded:
+            (loss, results), (g_params, g_m2d, g_w) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True)(params, m2d0, w0)
+            weights = g_w
+        else:
+            (loss, results), (g_params, g_m2d) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0, None)
+            weights = results["weights"][:, 0]
         g_params = G.mask_grads(g_params, aux.active)
 
         # Per-view stat contributions BEFORE gradient averaging (the
         # reference accumulates per-view grad norms, not norms of summed
         # grads), then combine: sums for weights/norms/denom, max for radii.
         contribs = combine_stat_contribs(G.densification_contribs(
-            g_m2d, g_params.normal, results["weights"][:, 0],
-            results["radii"]))
+            g_m2d, g_params.normal, weights, results["radii"]))
 
         # Mean gradients across the camera batch (n_dev=1 reduces to the
         # reference's single-camera step).
@@ -139,19 +149,21 @@ def make_dp_train_step_stage2(mesh: Mesh, *, cfg: RasterConfig,
         view = jax.tree.map(lambda x: x[0], views)
         bg = (jnp.ones((3,)) if cfg.white_background else jnp.zeros((3,)))
         m2d0 = jnp.zeros((params.capacity, 2))
+        w0 = jnp.zeros((params.capacity,))  # seeded weights (stage1.py)
 
-        def loss_fn(p, e, m2d):
+        def loss_fn(p, e, m2d, w):
             results = render_neilf(view, p, aux.active, cfg, bg, e, vis, opt,
-                                   is_training=True, mean2d_offset=m2d)
+                                   is_training=True, mean2d_offset=m2d,
+                                   w_seed=w)
             return results["loss"], results
 
-        (loss, results), (g_params, g_env, g_m2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True)(params, env, m2d0)
+        (loss, results), (g_params, g_env, g_m2d, g_w) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(params, env, m2d0,
+                                                         w0)
         g_params = G.mask_grads(g_params, aux.active)
 
         contribs = combine_stat_contribs(G.densification_contribs(
-            g_m2d, g_params.normal, results["weights"][:, 0],
-            results["radii"]))
+            g_m2d, g_params.normal, g_w, results["radii"]))
         g_params = jax.lax.pmean(g_params, DP_AXIS)
         g_env = jax.lax.pmean(g_env, DP_AXIS)
 

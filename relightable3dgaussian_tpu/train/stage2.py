@@ -36,14 +36,19 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
                spatial_lr_scale: float):
     bg = (jnp.ones((3,)) if cfg.white_background else jnp.zeros((3,)))
     m2d0 = jnp.zeros((params.capacity, 2))
+    # Seeded weights (see stage1.train_step): stage-2 losses never read the
+    # weight values, so the stats' weights always ride the fused backward
+    # scatter.
+    w0 = jnp.zeros((params.capacity,))
 
-    def loss_fn(p, e, m2d):
+    def loss_fn(p, e, m2d, w):
         results = render_neilf(view, p, aux.active, cfg, bg, e, vis, opt,
-                               is_training=True, mean2d_offset=m2d)
+                               is_training=True, mean2d_offset=m2d,
+                               w_seed=w)
         return results["loss"], results
 
-    (loss, results), (g_params, g_env, g_m2d) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, env, m2d0)
+    (loss, results), (g_params, g_env, g_m2d, g_w) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(params, env, m2d0, w0)
     g_params = G.mask_grads(g_params, aux.active)
 
     lrs = learning_rates(opt, iteration, spatial_lr_scale)
@@ -53,8 +58,7 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
     new_env = DirectLightParams(env=new_env_arr)
 
     new_aux = G.add_densification_stats(
-        aux, g_m2d, g_params.normal, results["weights"][:, 0],
-        results["radii"])
+        aux, g_m2d, g_params.normal, g_w, results["radii"])
 
     metrics = dict(results["tb_dict"])
     metrics["loss"] = loss

@@ -44,14 +44,16 @@ def test_backends_agree():
 
 
 def test_occlusion_darkens_gap():
-    """Points on top of the main sphere (facing the occluder) lose light;
-    the force_vis ablation restores it; the bottom is barely affected."""
+    """Points on the main sphere facing the tetrahedron pocket lose light;
+    the force_vis ablation restores it; the outward-facing side is barely
+    affected."""
     scene = oracle.occlusion_scene()
     env = _uniform_env()
     dirs, L, omega = oracle._env_quadrature(env)
-    top = np.array([[0.0, 1.0, 0.0]])
-    bottom = np.array([[0.0, -1.0, 0.0]])
-    for pt, occluded in ((top, True), (bottom, False)):
+    centroid = np.mean(oracle.tetra_centers()[1:], axis=0)
+    toward = (centroid / np.linalg.norm(centroid))[None, :]
+    away = -toward
+    for pt, occluded in ((toward, True), (away, False)):
         albedo, rough = oracle.surface_attrs(scene, pt,
                                              np.zeros(1, np.int32))
         view = np.array([[0.0, 0.0, 1.0]])
@@ -61,11 +63,11 @@ def test_occlusion_darkens_gap():
             scene, pt, pt, view, albedo, rough, dirs, L, omega,
             force_vis=True)
         if occluded:
-            assert vis[0, 0] < 0.75, vis
-            assert rgb_v[0].sum() < 0.8 * rgb_1[0].sum()
+            assert vis[0, 0] < 0.7, vis
+            assert rgb_v[0].sum() < 0.75 * rgb_1[0].sum()
         else:
-            assert vis[0, 0] > 0.97, vis
-            np.testing.assert_allclose(rgb_v, rgb_1, rtol=1e-2)
+            assert vis[0, 0] > 0.95, vis
+            np.testing.assert_allclose(rgb_v, rgb_1, rtol=3e-2)
 
 
 def test_lambertian_energy_uniform_env():
@@ -112,7 +114,8 @@ def test_trace_view_renders_occluder():
     """Tiny full-view render: both spheres visible, shadow present."""
     scene = oracle.occlusion_scene()
     env = _uniform_env(h=16)
-    c2w = oracle.camera_pose(30.0, 25.0, 4.5, target=(0, 0.55, 0))
+    target, bound = oracle.scene_extent(scene)
+    c2w = oracle.camera_pose(30.0, 25.0, 3.2 * bound, target=target)
     img, aux = oracle.trace_view(scene, c2w, 48, 0.8, env, supersample=1,
                                  backend="numpy")
     assert aux["mask"].sum() > 100
@@ -127,7 +130,8 @@ def test_trace_view_renders_occluder():
 def test_trace_view_backends(backend):
     scene = oracle.occlusion_scene()
     env = _uniform_env(h=16) * np.array([1.0, 0.9, 0.7])
-    c2w = oracle.camera_pose(-40.0, 10.0, 4.5, target=(0, 0.55, 0))
+    target, bound = oracle.scene_extent(scene)
+    c2w = oracle.camera_pose(-40.0, 10.0, 3.2 * bound, target=target)
     img, aux = oracle.trace_view(scene, c2w, 32, 0.8, env, supersample=2,
                                  backend=backend)
     assert img.shape == (32, 32, 4)
