@@ -14,10 +14,10 @@ rendering. Design (vs the CUDA renderCUDA kernel,
     lane-aligned tiles — Mosaic supports neither random gathers nor
     narrow-lane HBM slices;
   * compute runs in [pixels, chunk] layout: the within-chunk transmittance
-    prefix is exp(log1p(-alpha) @ U_strict) with U_strict an upper-
-    triangular ones matrix — the front-to-back recurrence becomes an MXU
-    matmul — and blending is a second MXU matmul with the chunk dim
-    contracted;
+    prefix is a Hillis-Steele doubling scan of (1 - alpha) products over
+    the lane axis (pure multiplies — an exp(log1p @ U) matmul formulation
+    accumulates Mosaic's ~2e-5 transcendental error linearly with depth),
+    and blending is an MXU matmul with the chunk dim contracted;
   * per-slot blend weights are accumulated with read-modify-write DMAs
     (adjacent tiles share boundary chunk rows); the per-gaussian reduction
     happens outside.

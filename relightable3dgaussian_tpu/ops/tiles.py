@@ -73,19 +73,76 @@ class Binning(NamedTuple):
         return self.depth_order[jnp.clip(self.sorted_rank, 0, P - 1)]
 
 
+def _dp_tier_divisors(t, P: int, cap_fn, max_tiers: int) -> list[int]:
+    """Slot-optimal tier boundaries by dynamic programming.
+
+    Minimizes total emission slots Σ seg_size * cap(seg_max) over at most
+    `max_tiers` segments of the descending footprint array `t`, with
+    candidate boundaries at every distinct-value head (between two heads
+    the segment max — hence its cap — cannot change, so optima lie on
+    heads). Returns the divisor list (descending, widest tier first) that
+    reproduces those boundaries through bin_gaussians' partition rule
+    M = min(max(8, ceil(P/div)), P-lo). On the 100k-gaussian bench scene
+    this cuts key slots 2.81M → 2.0M at the same margin vs the old fixed
+    divisor menu (the u32 pair sort is the dominant binning cost).
+    """
+    import numpy as np
+    heads = np.flatnonzero(np.diff(t, prepend=t[0] + 1))
+    cand = np.unique(np.concatenate([heads, [P]])).astype(np.int64)
+    n = len(cand)
+    INF = float("inf")
+    # dp[k][j]: min slots covering rows [0, cand[j]) with exactly k segs
+    dp = np.full((max_tiers + 1, n), INF)
+    par = np.zeros((max_tiers + 1, n), dtype=np.int64)
+    dp[0, 0] = 0.0
+    seg_cap = np.array([cap_fn(int(t[c])) if c < P else 1 for c in cand],
+                       dtype=np.float64)
+    for k in range(1, max_tiers + 1):
+        for j in range(1, n):
+            costs = dp[k - 1, :j] + (cand[j] - cand[:j]) * seg_cap[:j]
+            i = int(np.argmin(costs))
+            dp[k, j], par[k, j] = costs[i], i
+    k = int(np.argmin(dp[:, n - 1]))
+    bounds = []
+    j = n - 1
+    while k > 0:
+        j = int(par[k, j])
+        bounds.append(int(cand[j]))
+        k -= 1
+    bounds = sorted(b for b in bounds if 0 < b < P)  # interior only
+
+    kept: list[int] = []
+    lo = 0
+    for b in bounds:
+        m_t = b - lo
+        if m_t < 8 or P - lo <= 8:
+            continue
+        div = max(2, int(round(P / m_t)))
+        while kept and div >= kept[-1]:
+            div = kept[-1] - 1
+        if div < 2:
+            break
+        kept.append(div)
+        lo += min(max(8, -(-P // div)), P - lo)
+    return kept
+
+
 def auto_tier_plan(tiles_touched, dmax: int = 64,
-                   divs: tuple[int, ...] = (2, 3, 4, 6, 8, 12, 16, 24,
-                                            32, 48, 64),
-                   margin: float = 1.3) -> tuple[tuple[int, int], ...]:
+                   divs: tuple[int, ...] | None = None,
+                   margin: float = 1.3,
+                   max_tiers: int = 10) -> tuple[tuple[int, int], ...]:
     """Build a zero-overflow tier plan from measured per-gaussian footprints.
 
     Args:
       tiles_touched: [P] (or concatenation over several views) measured tile
         counts from preprocess(); numpy or jax array.
       dmax: overall per-gaussian cap (cfg.max_tiles_per_gaussian).
-      divs: capacity divisors of the non-base tiers, narrow → wide.
+      divs: explicit capacity divisors of the non-base tiers, narrow → wide;
+        None (default) picks slot-optimal boundaries by DP
+        (`_dp_tier_divisors`).
       margin: cap headroom multiplier so slightly larger footprints in other
         views still fit.
+      max_tiers: DP segment budget (each tier adds a fixed emission cost).
     Returns a cfg.tier_plan value. By construction the plan has zero spill
     on the measured view(s); the margin covers view-to-view variation (the
     overflow_pairs counter still reports any residual spill).
@@ -113,7 +170,10 @@ def auto_tier_plan(tiles_touched, dmax: int = 64,
         cap0 = _cap(int(t[lo]) if lo < P else 0)
         return caps, cap0
 
-    kept = sorted(divs, reverse=True)
+    if divs is None:
+        kept = _dp_tier_divisors(t, P, _cap, max_tiers)
+    else:
+        kept = sorted(divs, reverse=True)
     caps, cap0 = caps_for(kept)
     while kept:
         # A tier is redundant when its cap does not exceed the next
@@ -184,37 +244,64 @@ def _tile_min_power(mean2d, conic, tx, ty, tile: int):
     return jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
 
 
-def _emit_tier_keys(prep: Preprocessed, cfg: RasterConfig, rows, width: int,
-                    emit_rows, rank_of, opacity, P2: int):
+# Column layout of the packed emission table (_emit_table): one f32 table
+# gathered into footprint order ONCE, so every tier's emission reads a
+# contiguous slice. Separate per-tier row-gathers (7 arrays x every tier)
+# measured ~5 ms/frame at bench scale — TPU gathers are index-bound, so one
+# [P]-row gather of a wide table beats many narrow ones.
+_EC_RECT_X, _EC_RECT_Y, _EC_SPAN, _EC_MEAN_X, _EC_MEAN_Y = 0, 1, 2, 3, 4
+_EC_CON_A, _EC_CON_B, _EC_CON_C, _EC_OPAC, _EC_RANK, _EC_EMIT = 5, 6, 7, 8, 9, 10
+_EC_FIELDS = 11
+
+
+def _emit_table(prep: Preprocessed, rank_of, emit, opacity) -> jnp.ndarray:
+    """[P, 11] f32 emission table (ints are exact in f32 at these sizes:
+    tile coords < 2^20, ranks < 2^24 for any realistic P)."""
+    span_x = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    opac = (opacity if opacity is not None
+            else jnp.ones_like(prep.depth))
+    return jnp.stack([
+        prep.rect_min[:, 0].astype(jnp.float32),
+        prep.rect_min[:, 1].astype(jnp.float32),
+        span_x.astype(jnp.float32),
+        prep.mean2d[:, 0], prep.mean2d[:, 1],
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        opac,
+        rank_of.astype(jnp.float32),
+        emit.astype(jnp.float32),
+    ], axis=1)
+
+
+def _emit_tier_keys(seg: jnp.ndarray, cfg: RasterConfig, width: int,
+                    P2: int, use_opacity: bool):
     """Dense key rows for one tier.
 
     Args:
-      rows: [M] int32 gaussian ids for this tier's rows (already valid).
+      seg: [M, 11] slice of the footprint-sorted emission table.
       width: static slot count per row.
-      emit_rows: [M] number of (row-local) tiles to emit, <= width.
     Returns ([M * width] u32 keys, [M] emitted counts).
     """
-    rect_min = prep.rect_min[rows]
-    span_x = jnp.maximum(
-        (prep.rect_max[:, 0] - prep.rect_min[:, 0])[rows], 1)
+    emit_rows = jnp.minimum(seg[:, _EC_EMIT], float(width))
     j = jnp.arange(width, dtype=jnp.int32)[None, :]
     valid = j < emit_rows[:, None]
+    span_x = seg[:, _EC_SPAN:_EC_SPAN + 1]
     # floor(j / span) via f32 division: exact for j < 2^20 and span >= 1
     # (correctly-rounded f32 division cannot cross an integer boundary at
     # these magnitudes) — vector integer div/mod is slow on the VPU.
-    jq = jnp.floor(j.astype(jnp.float32)
-                   / span_x[:, None].astype(jnp.float32)).astype(jnp.int32)
-    ty = rect_min[:, 1:2] + jq
-    tx = rect_min[:, 0:1] + j - jq * span_x[:, None]
-    if opacity is not None:
+    jq = jnp.floor(j.astype(jnp.float32) / span_x).astype(jnp.int32)
+    span_i = span_x.astype(jnp.int32)
+    ty = seg[:, _EC_RECT_Y:_EC_RECT_Y + 1].astype(jnp.int32) + jq
+    tx = seg[:, _EC_RECT_X:_EC_RECT_X + 1].astype(jnp.int32) + j - jq * span_i
+    if use_opacity:
         # alpha_max = opacity * exp(-q_min/2) >= 1/255
-        q_min = _tile_min_power(prep.mean2d[rows], prep.conic[rows],
+        q_min = _tile_min_power(seg[:, _EC_MEAN_X:_EC_MEAN_Y + 1],
+                                seg[:, _EC_CON_A:_EC_CON_C + 1],
                                 tx, ty, cfg.tile)
         th = 2.0 * jnp.log(
-            jnp.maximum(opacity[rows], 1e-12) * 255.0)[:, None]
+            jnp.maximum(seg[:, _EC_OPAC], 1e-12) * 255.0)[:, None]
         valid = valid & (q_min <= th)
     tile = (ty * cfg.tiles_x + tx).astype(jnp.uint32)
-    rank = rank_of[rows].astype(jnp.uint32)[:, None]
+    rank = seg[:, _EC_RANK:_EC_RANK + 1].astype(jnp.uint32)
     key = jnp.where(valid, tile * jnp.uint32(P2) + rank,
                     jnp.uint32(0xFFFFFFFF))
     return key.reshape(-1), valid.sum(axis=1)
@@ -253,44 +340,42 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     # tiers by DESCENDING footprint — the P/div largest rects get the widest
     # rows — so wide rows are never wasted on small gaussians and narrow
     # rows only ever truncate the smallest footprints (counted as spill).
+    # All per-gaussian emission fields travel in ONE footprint-sorted table
+    # (single [P]-row gather); each tier then reads a contiguous slice.
     tiers = cfg.binning_tiers
+    use_op = opacity is not None
     key_parts = []
-    row_parts = []   # gaussian ids, aligned with cnt_parts
-    cnt_parts = []   # emitted pair counts per row
+    cnt_parts = []   # emitted pair counts per row (tier order = table order)
     total = jnp.int32(0)
     spill = jnp.int32(0)
+    table = _emit_table(prep, rank_of, emit, opacity)
     if len(tiers) == 1:
-        all_ids = jnp.arange(P, dtype=jnp.int32)
-        k0, c0 = _emit_tier_keys(prep, cfg, all_ids, tiers[0][0], emit,
-                                 rank_of, opacity, P2)
+        table_sz = table
+        k0, c0 = _emit_tier_keys(table_sz, cfg, tiers[0][0], P2, use_op)
+        spill = spill + (emit - jnp.minimum(emit, tiers[0][0])).sum()
         key_parts.append(k0)
         total = total + c0.sum()
-        row_parts.append(all_ids)
         cnt_parts.append(c0.astype(jnp.int32))
     else:
         size_order = jnp.argsort(-emit).astype(jnp.int32)  # desc footprint
+        table_sz = table[size_order]
+        emit_sz = table_sz[:, _EC_EMIT].astype(jnp.int32)
         lo = 0
         for cap, div in reversed(tiers[1:]):
             M = min(max(8, -(-P // div)), P - lo)
-            rows = size_order[lo:lo + M]
-            emit_rows = jnp.minimum(emit[rows], cap)
-            spill = spill + (emit[rows] - emit_rows).sum()
-            k, c = _emit_tier_keys(prep, cfg, rows, cap, emit_rows,
-                                   rank_of, opacity, P2)
+            seg = table_sz[lo:lo + M]
+            spill = spill + jnp.maximum(emit_sz[lo:lo + M] - cap, 0).sum()
+            k, c = _emit_tier_keys(seg, cfg, cap, P2, use_op)
             key_parts.append(k)
             total = total + c.sum()
-            row_parts.append(rows)
             cnt_parts.append(c.astype(jnp.int32))
             lo += M
         cap0 = tiers[0][0]
-        rows0 = size_order[lo:]
-        emit0 = jnp.minimum(emit[rows0], cap0)
-        spill = spill + (emit[rows0] - emit0).sum()
-        k0, c0 = _emit_tier_keys(prep, cfg, rows0, cap0, emit0, rank_of,
-                                 opacity, P2)
+        seg0 = table_sz[lo:]
+        spill = spill + jnp.maximum(emit_sz[lo:] - cap0, 0).sum()
+        k0, c0 = _emit_tier_keys(seg0, cfg, cap0, P2, use_op)
         key_parts.append(k0)
         total = total + c0.sum()
-        row_parts.append(rows0)
         cnt_parts.append(c0.astype(jnp.int32))
     key = jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
 
@@ -304,11 +389,10 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     # is measured + reported and callers re-size buffer_multiple from it.
     if key.shape[0] > B:
         # Pairs per DEPTH RANK, built with one scatter straight into rank
-        # space (rank_of[rows] is a permutation of [0, P)) — a
-        # storage-order intermediate would cost an extra scatter + gather,
-        # ~2.5 ms/frame at bench scale.
-        rank_rows = (rank_of[jnp.concatenate(row_parts)]
-                     if len(row_parts) > 1 else rank_of[row_parts[0]])
+        # space (the table's rank column in tier order is a permutation of
+        # [0, P)) — a storage-order intermediate would cost an extra
+        # scatter + gather, ~2.5 ms/frame at bench scale.
+        rank_rows = table_sz[:, _EC_RANK].astype(jnp.int32)
         cnt_by_rank = jnp.zeros((P,), jnp.int32).at[rank_rows].set(
             jnp.concatenate(cnt_parts) if len(cnt_parts) > 1
             else cnt_parts[0], mode="drop", unique_indices=True)
