@@ -1,0 +1,278 @@
+"""Composition-relighting quality proof (the reference's showcase workflow).
+
+Trains TWO single-object scenes independently (`oracle.sphere_a_scene` —
+checker albedo + roughness bands — and `oracle.sphere_b_scene` — gray
+occluder), composes them through the REAL `cli/relighting.py` workflow
+(transform.json PLY loading + 4x4 transforms + merged-cloud visibility
+re-trace + trajectory rendering, re-design of
+/root/reference/relighting.py:28-52,158-197), and scores the composed
+renders under envmap12 against an analytic oracle of the COMPOSED scene
+(`oracle.pair_scene`: the two spheres at tetra spacing, mutually
+occluding).
+
+The point: the two models never saw each other during training, so EVERY
+bit of mutual occlusion in the composed render comes from the merged-cloud
+re-trace — the `--vis_one` ablation (visibility forced to 1) quantifies
+exactly that contribution. Appends a "Composition relighting" section to
+the QUALITY report.
+
+Usage: python examples/quality_compose.py [--workdir /tmp/r3dg_compose]
+       [--report QUALITY_r04.md] [--skip_train]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from relightable3dgaussian_tpu.utils.compile_cache import \
+    enable_compilation_cache
+
+enable_compilation_cache()
+
+import oracle
+from quality_eval import ENV_RELIGHT, ENV_TRAIN, diffuse_irradiance_max, psnr
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def train_component(name: str, workdir: str, args) -> dict:
+    """Train one component via the quality harness (self-resuming)."""
+    wd = os.path.join(workdir, name)
+    report = os.path.join(wd, "report.json")
+    total = args.iters1 + args.iters2
+    ply = os.path.join(wd, "stage2", "point_cloud",
+                       f"iteration_{total}", "point_cloud.ply")
+    if not (os.path.exists(report) and os.path.exists(ply)):
+        cmd = [sys.executable, "examples/quality_eval.py",
+               "--workdir", wd, "--scene", name,
+               "--size", str(args.size),
+               "--iters1", str(args.iters1), "--iters2", str(args.iters2),
+               "--sample_num", str(args.sample_num),
+               "--eval_sample_num", str(args.eval_sample_num),
+               "--report", os.path.join(wd, f"QUALITY_{name}.md")]
+        print(f"[compose] training component {name}: {' '.join(cmd)}",
+              flush=True)
+        # quality_eval self-resumes from periodic checkpoints; retry keeps
+        # a wedged-TPU-tunnel crash from sinking the whole composition run.
+        for attempt in range(3):
+            r = subprocess.run(cmd, cwd=REPO)
+            if r.returncode == 0:
+                break
+            print(f"[compose] {name} attempt {attempt} exited "
+                  f"{r.returncode}; resuming", flush=True)
+        else:
+            raise SystemExit(f"component {name} failed to train")
+    with open(report) as f:
+        rep = json.load(f)
+    if not os.path.exists(ply):
+        raise SystemExit(f"missing {ply}")
+    return {"ply": ply, "report": rep}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/r3dg_compose")
+    ap.add_argument("--size", type=int, default=200)
+    ap.add_argument("--iters1", type=int, default=7000)
+    ap.add_argument("--iters2", type=int, default=3000)
+    ap.add_argument("--sample_num", type=int, default=32)
+    ap.add_argument("--eval_sample_num", type=int, default=384)
+    ap.add_argument("--n_views", type=int, default=8)
+    ap.add_argument("--supersample", type=int, default=2)
+    ap.add_argument("--gt_backend", choices=["jax", "numpy"], default="jax")
+    ap.add_argument("--report", default="QUALITY_r04.md")
+    args = ap.parse_args()
+    t_start = time.time()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    comp = {name: train_component(name, args.workdir, args)
+            for name in ("sphere_a", "sphere_b")}
+
+    # ---- composed-scene config dir (the cli/relighting.py contract) ----
+    cfg_dir = os.path.join(args.workdir, "config")
+    out_dir = os.path.join(args.workdir, "capture")
+    os.makedirs(cfg_dir, exist_ok=True)
+    shift = float(oracle.TETRA_EDGE)
+    t_b = np.eye(4, dtype=np.float32)
+    t_b[0, 3] = shift  # sphere_b translated +x to the pair position
+    with open(os.path.join(cfg_dir, "transform.json"), "w") as f:
+        json.dump({
+            "sphere_a": {"path": comp["sphere_a"]["ply"],
+                         "transform": np.eye(4).reshape(-1).tolist()},
+            "sphere_b": {"path": comp["sphere_b"]["ply"],
+                         "transform": t_b.reshape(-1).tolist()},
+        }, f)
+
+    scene = oracle.pair_scene()
+    target, bound = oracle.scene_extent(scene)
+    fovx = 0.69
+    radius = 3.2 * bound
+    poses = []
+    for i in range(args.n_views):
+        azim = (i + 0.35) * 360.0 / args.n_views
+        elev = [-5, 15, 35, 55][i % 4]
+        poses.append(oracle.camera_pose(azim, elev, radius, target=target))
+    traj = {}
+    for i, c2w in enumerate(poses):
+        gl = np.array(c2w, np.float64)
+        gl[:3, 1:3] *= -1  # OpenGL → COLMAP (scene/dataset_readers.py:181)
+        traj[f"{i:03d}"] = np.linalg.inv(gl).reshape(-1).tolist()
+    with open(os.path.join(cfg_dir, "trajectory.json"), "w") as f:
+        json.dump({"camera": {"height": args.size, "width": args.size,
+                              "camera_angle_x": fovx},
+                   "trajectory": traj}, f)
+
+    # ---- relighting env at the SAME exposure the components trained at ----
+    env_train = oracle.load_envmap(ENV_TRAIN)
+    scale = 0.85 / max(diffuse_irradiance_max(env_train), 1e-9)
+    env_relight = oracle.load_envmap(ENV_RELIGHT) * scale * 1.2
+    env_path = os.path.join(args.workdir, "envmap12_scaled.exr")
+    from relightable3dgaussian_tpu.scene.exr import write_exr_zip
+    write_exr_zip(env_path, env_relight.astype(np.float32))
+
+    # ---- composed GT from the analytic oracle ----
+    gt_imgs, gt_albedo, gt_masks, gt_vis = [], [], [], []
+    for c2w in poses:
+        img4, aux = oracle.trace_view(scene, c2w, args.size, fovx,
+                                      env_relight,
+                                      supersample=args.supersample,
+                                      backend=args.gt_backend)
+        a = img4[..., 3:4]
+        gt_imgs.append(img4[..., :3] + (1.0 - a))  # white composite
+        gt_albedo.append(aux["albedo"])
+        gt_masks.append(aux["mask"])
+        gt_vis.append(aux["vis"])
+
+    # ---- pass 1: albedo capture → linear base-color scale ----
+    from relightable3dgaussian_tpu.cli import relighting as relight_cli
+    from relightable3dgaussian_tpu.scene.image_io import load_img_rgb
+
+    def frames(sub):
+        out = []
+        for i in range(args.n_views):
+            out.append(load_img_rgb(
+                os.path.join(out_dir, sub, f"frame_{i:03d}.png")))
+        return np.stack(out)
+
+    base_argv = ["-co", cfg_dir, "-e", env_path, "--output", out_dir,
+                 "--white_background",
+                 "--sample_num", str(args.eval_sample_num)]
+    relight_cli.main(base_argv + ["--capture_list", "base_color,opacity"])
+
+    import jax.numpy as jnp
+
+    from relightable3dgaussian_tpu.losses import ssim as ssim_fn
+    from relightable3dgaussian_tpu.utils.graphics import srgb_to_rgb
+
+    m = np.stack(gt_masks)[..., None].astype(np.float64)
+    pred_lin = np.asarray(srgb_to_rgb(jnp.asarray(frames("base_color"))))
+    gt_lin = np.stack(gt_albedo)
+    scale_lin = ((gt_lin * pred_lin * m).sum((0, 1, 2))
+                 / np.maximum((pred_lin ** 2 * m).sum((0, 1, 2)), 1e-9))
+    print(f"[compose] linear base_color_scale {scale_lin}")
+
+    # ---- pass 2: relit composed renders, traced vs forced-1 ----
+    sc = [str(float(s)) for s in scale_lin]
+    relight_cli.main(base_argv + ["--capture_list", "pbr,visibility",
+                                  "--base_color_scale"] + sc)
+    pred = frames("pbr")
+    pred_v = frames("visibility")
+    relight_cli.main(base_argv + ["--capture_list", "pbr", "--vis_one",
+                                  "--base_color_scale"] + sc)
+    pred_nv = frames("pbr")
+
+    gt = np.stack(gt_imgs)
+    rep = {"base_color_scale": [round(float(s), 4) for s in scale_lin]}
+
+    def score(p, label):
+        ps = [psnr(p[i], gt[i]) for i in range(len(gt))]
+        po = [psnr(p[i], gt[i],
+                   np.broadcast_to(m[i], gt[i].shape))
+              for i in range(len(gt))]
+        ss = [float(ssim_fn(jnp.asarray(p[i]).transpose(2, 0, 1),
+                            jnp.asarray(gt[i]).transpose(2, 0, 1)))
+              for i in range(len(gt))]
+        out = {"psnr": float(np.mean(ps)), "psnr_object": float(np.mean(po)),
+               "ssim": float(np.mean(ss))}
+        print(f"[compose] {label}: PSNR {out['psnr']:.2f} "
+              f"(object {out['psnr_object']:.2f})  SSIM {out['ssim']:.4f}",
+              flush=True)
+        return out
+
+    r_tr = score(pred, "composed relight (traced)")
+    r_nv = score(pred_nv, "composed relight (vis=1)")
+    rep.update(relight=r_tr, relight_vis1=r_nv)
+    rep["vis_ablation_delta_db"] = round(r_tr["psnr"] - r_nv["psnr"], 2)
+    rep["vis_ablation_delta_object_db"] = round(
+        r_tr["psnr_object"] - r_nv["psnr_object"], 2)
+
+    # Mutual-occlusion check: rendered visibility in GT shadow zones.
+    shadow = (np.stack(gt_vis)[..., 0] < 0.85) & np.stack(gt_masks)
+    rep["shadow_px"] = int(shadow.sum())
+    rep["mean_traced_vis_in_shadow"] = round(float(
+        pred_v[shadow].mean()), 4) if shadow.any() else float("nan")
+    rep["mean_traced_vis_elsewhere"] = round(float(
+        pred_v[~shadow & np.stack(gt_masks)].mean()), 4)
+    print(f"[compose] rendered visibility: shadow-region mean "
+          f"{rep['mean_traced_vis_in_shadow']} vs elsewhere "
+          f"{rep['mean_traced_vis_elsewhere']}")
+    rep["wall_clock_min"] = round((time.time() - t_start) / 60, 1)
+    rep["config"] = {k: getattr(args, k) for k in
+                     ("size", "iters1", "iters2", "sample_num",
+                      "eval_sample_num", "n_views")}
+
+    lines = [
+        "",
+        "## Composition relighting (separately trained objects, merged "
+        "cloud)",
+        "",
+        "`sphere_a` (checker + roughness bands) and `sphere_b` (gray "
+        "occluder) trained INDEPENDENTLY, composed via the real "
+        "`cli/relighting.py` workflow (transform.json + merged-cloud "
+        f"re-trace at S={args.eval_sample_num}), relit under envmap12, "
+        "scored against the analytic oracle of the composed pair. The two "
+        "models never saw each other — all mutual occlusion comes from "
+        "the merged re-trace; `--vis_one` ablates it.",
+        "",
+        "| Metric | Value |",
+        "|---|---|",
+        f"| Composed relighting PSNR ({args.n_views} views) | "
+        f"{r_tr['psnr']:.2f} dB |",
+        f"| Composed relighting SSIM | {r_tr['ssim']:.4f} |",
+        f"| Composed relighting PSNR, object region | "
+        f"{r_tr['psnr_object']:.2f} dB |",
+        f"| **Ablation: visibility forced to 1** | "
+        f"{r_nv['psnr']:.2f} dB full / {r_nv['psnr_object']:.2f} dB "
+        "object |",
+        f"| **Mutual-occlusion delta** (traced − forced-1) | "
+        f"{rep['vis_ablation_delta_db']:+.2f} dB full / "
+        f"{rep['vis_ablation_delta_object_db']:+.2f} dB object |",
+        f"| Rendered visibility in GT shadow ({rep['shadow_px']} px) "
+        f"vs elsewhere | {rep['mean_traced_vis_in_shadow']} vs "
+        f"{rep['mean_traced_vis_elsewhere']} |",
+        f"| base_color_scale (linear) | {rep['base_color_scale']} |",
+        f"| Wall clock (both trainings + compose + eval) | "
+        f"{rep['wall_clock_min']} min |",
+        "",
+        f"Config: {json.dumps(rep['config'])}",
+    ]
+    with open(os.path.join(REPO, args.report), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[done] appended composition section to {args.report}")
+    print(json.dumps(rep))
+    with open(os.path.join(args.workdir, "compose_report.json"), "w") as f:
+        json.dump(rep, f)
+
+
+if __name__ == "__main__":
+    main()

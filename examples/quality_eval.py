@@ -86,6 +86,9 @@ def write_dataset(scene, scene_dir: str, size: int, n_train: int,
     from relightable3dgaussian_tpu.scene.image_io import save_image_u8
     rng = np.random.default_rng(7)
     gt_aux = {}
+    aux_keys = ("normal", "albedo", "roughness", "specular", "vis", "mask")
+    aux_dir = os.path.join(scene_dir, "gt_aux")
+    os.makedirs(aux_dir, exist_ok=True)
     t0 = time.time()
     for split, count in (("train", n_train), ("test", n_test)):
         frames = []
@@ -98,16 +101,28 @@ def write_dataset(scene, scene_dir: str, size: int, n_train: int,
                 azim = (i + 0.35) * 360.0 / count
                 elev = [-5, 15, 35, 55][i % 4]
             c2w = oracle.camera_pose(azim, elev, radius, target=target)
-            img, aux = oracle.trace_view(scene, c2w, size, fovx, env,
-                                         supersample=supersample,
-                                         backend=backend)
             name = f"./{split}/r_{i}"
-            save_image_u8(os.path.join(scene_dir, f"{split}/r_{i}.png"), img)
+            png = os.path.join(scene_dir, f"{split}/r_{i}.png")
+            cache = os.path.join(aux_dir, f"{split}_{i}.npz")
+            # View-level resume: at 800 px a view costs ~15-40 s, so a full
+            # regeneration after a crash/watchdog kill would starve the
+            # retry wrapper forever. Also log EVERY view (the wrapper's
+            # stall detector watches the log mtime).
+            if os.path.exists(png) and os.path.exists(cache):
+                dat = np.load(cache)
+                gt_aux[(split, i)] = {k: dat[k] for k in aux_keys}
+            else:
+                img, aux = oracle.trace_view(scene, c2w, size, fovx, env,
+                                             supersample=supersample,
+                                             backend=backend)
+                save_image_u8(png, img)
+                gt_aux[(split, i)] = {k: np.asarray(aux[k])
+                                      for k in aux_keys}
+                np.savez(cache, **gt_aux[(split, i)])
+                print(f"[gen] {split} view {i + 1}/{count} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
             frames.append({"file_path": name,
                            "transform_matrix": c2w.tolist()})
-            gt_aux[(split, i)] = {k: aux[k] for k in
-                                  ("normal", "albedo", "roughness",
-                                   "specular", "vis", "mask")}
             gt_aux[(split, i)]["c2w"] = c2w
         with open(os.path.join(scene_dir,
                                f"transforms_{split}.json"), "w") as f:
@@ -537,9 +552,17 @@ def main():
     # VISIBILITY ABLATION under the same protocol. The GT-side bound
     # quantifies how much occlusion matters in this scene at all.
     gt_relit, gt_relit_nv = [], []
-    for cam in test_cams:
-        c2w = gt_aux[("test", gen_index(cam))]["c2w"]
+    relit_dir = os.path.join(args.workdir, "gt_relit")
+    os.makedirs(relit_dir, exist_ok=True)
+    for ci, cam in enumerate(test_cams):
+        gi = gen_index(cam)
+        c2w = gt_aux[("test", gi)]["c2w"]
         for force, acc in ((False, gt_relit), (True, gt_relit_nv)):
+            cache = os.path.join(relit_dir,
+                                 f"{gi}_{'nv' if force else 'v'}.npy")
+            if os.path.exists(cache):
+                acc.append(np.load(cache))
+                continue
             img4, _ = oracle.trace_view(scene, c2w, args.size, fovx,
                                         env_relight,
                                         supersample=args.supersample,
@@ -547,6 +570,9 @@ def main():
                                         force_vis=force)
             a = img4[..., 3:4]
             acc.append(img4[..., :3] + (1.0 - a))
+            np.save(cache, acc[-1])
+            print(f"[eval] relit GT view {ci + 1}/{len(test_cams)} "
+                  f"(force_vis={force})", flush=True)
     report["gt_vis_ablation_bound_db"] = round(float(np.mean(
         [psnr(a, b) for a, b in zip(gt_relit, gt_relit_nv)])), 2)
     print(f"[eval] GT-side visibility ablation bound: oracle(V) vs "

@@ -101,6 +101,16 @@ def main(argv=None):
     parser.add_argument("--output", default="./capture_trace")
     parser.add_argument("--capture_list", default="pbr_env")
     parser.add_argument("--white_background", action="store_true")
+    parser.add_argument("--base_color_scale", type=float, nargs=3,
+                        default=None,
+                        help="per-channel linear base-color scale applied "
+                             "at render time (the reference applies a "
+                             "per-scene scale when relighting, "
+                             "eval_relighting_syn4.py:95-105)")
+    parser.add_argument("--vis_one", action="store_true",
+                        help="ablation: force the traced visibility cache "
+                             "to 1 (quantifies what the merged-cloud "
+                             "re-trace contributes)")
     args = parser.parse_args(argv)
 
     scene_dict = load_json_config(os.path.join(args.config, "transform.json"))
@@ -120,7 +130,12 @@ def main(argv=None):
                             sharded_trace=sharded_trace_from_args(args),
                             verbose=True, **trace_caps_from_args(args))
     report_trace_stats(vis)
+    if args.vis_one:
+        print("ablation: visibility forced to 1")
+        vis = vis._replace(visibility=jnp.ones_like(vis.visibility))
     sharded_shading = sharded_shading_from_args(args)
+    bc_scale = (jnp.asarray(args.base_color_scale, jnp.float32)
+                if args.base_color_scale is not None else None)
 
     capture_list = [s.strip() for s in args.capture_list.split(",")]
     for t in capture_list:
@@ -132,7 +147,9 @@ def main(argv=None):
 
     H = traject["camera"]["height"]
     W = traject["camera"]["width"]
-    fovx = 0.6911112070083618  # blender camera_angle_x (relighting.py:155)
+    # blender camera_angle_x default (relighting.py:155); trajectory.json
+    # may override it for non-Blender captures.
+    fovx = traject["camera"].get("camera_angle_x", 0.6911112070083618)
     fovy = focal2fov(fov2focal(fovx, W), H)
     cfg = RasterConfig(height=H, width=W, feature_dim=EVAL_FEATURE_DIM,
                        sh_degree=3)
@@ -155,6 +172,7 @@ def main(argv=None):
 
         res = render_neilf(cam.view_inputs(), params, active, cfg, bg,
                            env_i, vis, is_training=False,
+                           base_color_scale=bc_scale,
                            sharded_shading=sharded_shading)
         for t in capture_list:
             if t == "points":

@@ -68,6 +68,61 @@ class TestRelightingCLI:
             assert os.path.exists(out / t / "frame_0.png"), t
             assert os.path.exists(out / t / "frame_1.png"), t
 
+        # --vis_one ablation + per-channel base_color_scale: the scaled
+        # capture must differ from the unscaled one (scale acts on the
+        # linear base color fed to the PBR shade).
+        import imageio.v2 as iio
+        base = np.asarray(iio.imread(out / "pbr_env" / "frame_0.png"),
+                          np.float32)
+        out2 = tmp_path / "capture2"
+        relighting.main([
+            "-co", str(tmp_path), "-e", str(env_path),
+            "--output", str(out2), "--sample_num", "4",
+            "--capture_list", "pbr_env", "--vis_one",
+            "--base_color_scale", "0.3", "0.3", "0.3",
+        ])
+        scaled = np.asarray(iio.imread(out2 / "pbr_env" / "frame_0.png"),
+                            np.float32)
+        assert scaled.shape == base.shape
+        assert np.abs(scaled - base).max() > 1.0  # u8 steps
+
+    def test_trajectory_fov_override(self, tmp_path):
+        """camera_angle_x in trajectory.json overrides the Blender default
+        — a wider FOV shrinks the rendered object footprint."""
+        import imageio.v2 as iio
+        from relightable3dgaussian_tpu.cli import relighting
+
+        params = make_params(n=20, use_pbr=True, key=0)
+        params = params.replace(
+            xyz=params.xyz * 0.3,
+            scaling=jnp.full((20, 3), np.log(0.1)),
+            rotation=jnp.zeros((20, 4)).at[:, 0].set(1.0),
+            opacity=jnp.full((20, 1), 1.0))
+        p = tmp_path / "m.ply"
+        ply_io.save_gaussian_ply(str(p), params)
+        write_scene_configs(tmp_path, [p])
+        env = (np.random.rand(8, 16, 3) * 255).astype(np.uint8)
+        env_path = tmp_path / "env.png"
+        import imageio.v2 as imageio
+        imageio.imwrite(env_path, env)
+
+        covers = []
+        for fov, outn in ((0.4, "cap_narrow"), (1.2, "cap_wide")):
+            with open(tmp_path / "trajectory.json") as f:
+                traj = json.load(f)
+            traj["camera"]["camera_angle_x"] = fov
+            traj["trajectory"] = {"0": traj["trajectory"]["0"]}
+            with open(tmp_path / "trajectory.json", "w") as f:
+                json.dump(traj, f)
+            out = tmp_path / outn
+            relighting.main(["-co", str(tmp_path), "-e", str(env_path),
+                             "--output", str(out), "--sample_num", "4",
+                             "--capture_list", "points"])
+            img = np.asarray(iio.imread(out / "points" / "frame_0.png"),
+                             np.float32)
+            covers.append(float((img.sum(-1) > 0).mean()))
+        assert covers[1] < covers[0]  # wider fov -> smaller footprint
+
     def test_scene_composition_merges(self, tmp_path):
         from relightable3dgaussian_tpu.cli.relighting import scene_composition
         plys = []
