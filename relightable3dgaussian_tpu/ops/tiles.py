@@ -127,6 +127,9 @@ def _dp_tier_divisors(t, P: int, cap_fn, max_tiers: int) -> list[int]:
     return kept
 
 
+_MENU_DIVS = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
 def auto_tier_plan(tiles_touched, dmax: int = 64,
                    divs: tuple[int, ...] | None = None,
                    margin: float = 1.3,
@@ -170,23 +173,40 @@ def auto_tier_plan(tiles_touched, dmax: int = 64,
         cap0 = _cap(int(t[lo]) if lo < P else 0)
         return caps, cap0
 
-    if divs is None:
-        kept = _dp_tier_divisors(t, P, _cap, max_tiers)
-    else:
-        kept = sorted(divs, reverse=True)
-    caps, cap0 = caps_for(kept)
-    while kept:
-        # A tier is redundant when its cap does not exceed the next
-        # narrower tier's cap (same row width for more sort/emit overhead).
-        nxt = caps[1:] + [cap0]
-        drop = next((i for i, (c, cn) in enumerate(zip(caps, nxt))
-                     if c <= cn), None)
-        if drop is None:
-            break
-        kept.pop(drop)
+    def finalize(kept: list[int]) -> tuple[tuple[int, int], ...]:
         caps, cap0 = caps_for(kept)
-    plan = [(cap0, 1)] + [(c, d) for c, d in zip(caps[::-1], kept[::-1])]
-    return tuple(plan)
+        while kept:
+            # A tier is redundant when its cap does not exceed the next
+            # narrower tier's cap (same row width for more sort/emit
+            # overhead).
+            nxt = caps[1:] + [cap0]
+            drop = next((i for i, (c, cn) in enumerate(zip(caps, nxt))
+                         if c <= cn), None)
+            if drop is None:
+                break
+            kept.pop(drop)
+            caps, cap0 = caps_for(kept)
+        return tuple([(cap0, 1)]
+                     + [(c, d) for c, d in zip(caps[::-1], kept[::-1])])
+
+    def slots(plan) -> int:
+        lo = 0
+        total = 0
+        for cap, div in reversed(plan[1:]):
+            M = min(max(8, -(-P // div)), P - lo)
+            total += M * cap
+            lo += M
+        return total + (P - lo) * plan[0][0]
+
+    if divs is None:
+        # DP boundaries are slot-optimal BEFORE divisor quantization; the
+        # round-to-divisor step can occasionally lose to the legacy fixed
+        # menu (a few % on geometric-ish distributions), so build both and
+        # keep whichever sorts fewer key slots.
+        dp = finalize(_dp_tier_divisors(t, P, _cap, max_tiers))
+        menu = finalize(sorted(_MENU_DIVS, reverse=True))
+        return dp if slots(dp) <= slots(menu) else menu
+    return finalize(sorted(divs, reverse=True))
 
 
 def work_capacity(num_points: int, cfg: RasterConfig) -> int:
