@@ -138,7 +138,8 @@ def main():
         lrs = learning_rates(opt, it, 1.0)
         new_params, new_opt = adam_step(params, gp, opt_state, lrs)
         new_aux = G.add_densification_stats(
-            aux_in, gm, gp.normal, res["weights"][:, 0], res["radii"])
+            aux_in, gm, gp.normal, res["weights"][:, 0], res["radii"],
+            (cfg.width, cfg.height))
         return loss, new_params, new_aux, new_opt
 
     def E(params, aux_in, opt_state):

@@ -240,20 +240,28 @@ class StatContribs(NamedTuple):
 
 
 def densification_contribs(mean2d_grad: jnp.ndarray, normal_grad: jnp.ndarray,
-                           weights: jnp.ndarray,
-                           radii: jnp.ndarray) -> StatContribs:
+                           weights: jnp.ndarray, radii: jnp.ndarray,
+                           image_wh: tuple[int, int]) -> StatContribs:
     """Per-view stat contributions (gaussian_model.py:931-937).
 
     Args:
-      mean2d_grad: [P, 2] d(loss)/d(pixel-space mean).
+      mean2d_grad: [P, 2] d(loss)/d(pixel-space mean). Scaled here by
+        (0.5*W, 0.5*H) to the reference's NDC-gradient convention — the CUDA
+        backward folds ddelx_dx = 0.5*W into dL_dmean2D (backward.cu:481,601)
+        and densify_grad_threshold=0.0002 is tuned for THAT scale; raw
+        pixel-space norms sit ~0.5*W below it and never trigger densify.
       normal_grad: [P, 3] d(loss)/d(raw normal).
       weights: [P] per-gaussian accumulated blend weight from the rasterizer.
       radii: [P] screen radii (0 = invisible this view).
+      image_wh: (W, H) of the rendered view.
     """
     vis_f = (radii > 0).astype(jnp.float32)
+    ndc_scale = jnp.array([0.5 * image_wh[0], 0.5 * image_wh[1]],
+                          mean2d_grad.dtype)
     return StatContribs(
         weights=weights,
-        xyz_grad_norm=vis_f * jnp.linalg.norm(mean2d_grad, axis=-1),
+        xyz_grad_norm=vis_f * jnp.linalg.norm(mean2d_grad * ndc_scale,
+                                              axis=-1),
         normal_grad_norm=vis_f * jnp.linalg.norm(normal_grad, axis=-1),
         denom=vis_f,
         radii=vis_f * radii.astype(jnp.float32),
@@ -272,10 +280,12 @@ def apply_stat_contribs(aux: GaussianAux, c: StatContribs) -> GaussianAux:
 
 def add_densification_stats(aux: GaussianAux, mean2d_grad: jnp.ndarray,
                             normal_grad: jnp.ndarray, weights: jnp.ndarray,
-                            radii: jnp.ndarray) -> GaussianAux:
+                            radii: jnp.ndarray,
+                            image_wh: tuple[int, int]) -> GaussianAux:
     """Single-view stats accumulation (train.py:158-161)."""
     return apply_stat_contribs(
-        aux, densification_contribs(mean2d_grad, normal_grad, weights, radii))
+        aux, densification_contribs(mean2d_grad, normal_grad, weights, radii,
+                                    image_wh))
 
 
 # ---------------------------------------------------------------------------

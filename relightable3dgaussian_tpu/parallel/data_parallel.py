@@ -88,7 +88,8 @@ def make_dp_train_step(mesh: Mesh, *, cfg: RasterConfig,
         # reference accumulates per-view grad norms, not norms of summed
         # grads), then combine: sums for weights/norms/denom, max for radii.
         contribs = combine_stat_contribs(G.densification_contribs(
-            g_m2d, g_params.normal, weights, results["radii"]))
+            g_m2d, g_params.normal, weights, results["radii"],
+            (cfg.width, cfg.height)))
 
         # Mean gradients across the camera batch (n_dev=1 reduces to the
         # reference's single-camera step).
@@ -163,7 +164,8 @@ def make_dp_train_step_stage2(mesh: Mesh, *, cfg: RasterConfig,
         g_params = G.mask_grads(g_params, aux.active)
 
         contribs = combine_stat_contribs(G.densification_contribs(
-            g_m2d, g_params.normal, g_w, results["radii"]))
+            g_m2d, g_params.normal, g_w, results["radii"],
+            (cfg.width, cfg.height)))
         g_params = jax.lax.pmean(g_params, DP_AXIS)
         g_env = jax.lax.pmean(g_env, DP_AXIS)
 

@@ -54,7 +54,8 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
     new_params, new_opt_state = adam_step(params, g_params, opt_state, lrs)
 
     new_aux = G.add_densification_stats(
-        aux, g_m2d, g_params.normal, weights, results["radii"])
+        aux, g_m2d, g_params.normal, weights, results["radii"],
+        (cfg.width, cfg.height))
 
     metrics = dict(results["tb_dict"])
     metrics["loss"] = loss

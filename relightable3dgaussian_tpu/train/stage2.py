@@ -58,7 +58,8 @@ def train_step(params: G.GaussianParams, aux: G.GaussianAux,
     new_env = DirectLightParams(env=new_env_arr)
 
     new_aux = G.add_densification_stats(
-        aux, g_m2d, g_params.normal, g_w, results["radii"])
+        aux, g_m2d, g_params.normal, g_w, results["radii"],
+        (cfg.width, cfg.height))
 
     metrics = dict(results["tb_dict"])
     metrics["loss"] = loss

@@ -144,7 +144,8 @@ class TestEightDeviceSemantics:
                 loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
             gp = G.mask_grads(gp, aux.active)
             contribs = G.densification_contribs(
-                gm, gp.normal, res["weights"][:, 0], res["radii"])
+                gm, gp.normal, res["weights"][:, 0], res["radii"],
+                (CFG.width, CFG.height))
             return gp, contribs
 
         grads, contribs = [], []

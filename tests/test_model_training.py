@@ -259,3 +259,29 @@ class TestDensify:
         params, aux, opt_state = self._setup()
         params, opt_state = reset_opacity_step(params, opt_state)
         assert float(G.get_opacity(params).max()) <= 0.0101
+
+
+class TestDensifyStatsConvention:
+    def test_viewspace_grad_uses_ndc_scale(self):
+        """The accumulated viewspace-grad norm must follow the reference's
+        NDC convention: the CUDA backward folds ddelx_dx = 0.5*W into
+        dL_dmean2D (backward.cu:481,601), and densify_grad_threshold=2e-4
+        is tuned for THAT scale. Raw pixel-space norms sit ~0.5*W lower and
+        would never trigger densification (the round-4 800px quality run
+        logged +0c/0s for 30k iters, then size-prune wiped the model)."""
+        P = 8
+        g_pix = jnp.zeros((P, 2)).at[0].set(jnp.array([3e-7, 4e-7]))
+        radii = jnp.ones((P,))
+        c = G.densification_contribs(
+            g_pix, jnp.zeros((P, 3)), jnp.zeros((P,)), radii,
+            image_wh=(800, 800))
+        # pixel-norm 5e-7 * 0.5*800 = 2e-4: exactly at the densify threshold
+        np.testing.assert_allclose(float(c.xyz_grad_norm[0]), 2e-4,
+                                   rtol=1e-5)
+        # anisotropic W != H: per-axis scaling, not a single factor
+        c2 = G.densification_contribs(
+            g_pix, jnp.zeros((P, 3)), jnp.zeros((P,)), radii,
+            image_wh=(800, 200))
+        expect = np.hypot(3e-7 * 400, 4e-7 * 100)
+        np.testing.assert_allclose(float(c2.xyz_grad_norm[0]), expect,
+                                   rtol=1e-5)
