@@ -203,13 +203,16 @@ def main():
                     help="depth_var_ramp_iters passed to stage 1 "
                          "(999999 freezes the ramp at ~1x; 5000 = "
                          "reference 30k-protocol behavior)")
-    ap.add_argument("--densify_grad_threshold", default="0.0008",
-                    help="stage-1 densify threshold; tune with --size so "
-                         "the point budget stays at reference density "
-                         "(~2-6 px/gaussian). Per-gaussian normals are "
-                         "only constrained through compositing, so at "
-                         "<1 px/gaussian they never align and stage-2 "
-                         "PBR cannot decompose.")
+    ap.add_argument("--densify_grad_threshold", default="0.0002",
+                    help="stage-1 densify threshold (reference default "
+                         "2e-4, train.py:170). Densification volume is "
+                         "load-bearing at 800px: the post-reset size "
+                         "prune (radii2d > 20 px, active after iter "
+                         "3000) wipes any model still made of coarse "
+                         "splats — the 0.0008 value used while grads "
+                         "were accumulated 0.5*W too small selected ~20 "
+                         "splits/cycle and the model collapsed to zero "
+                         "points by iter 3600.")
     ap.add_argument("--quick", action="store_true",
                     help="tiny smoke configuration")
     ap.add_argument("--skip1", action="store_true",

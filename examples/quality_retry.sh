@@ -8,7 +8,11 @@
 set -u
 WORKDIR=${WORKDIR:-/tmp/r3dg_quality}
 LOG=$WORKDIR/run.log
-STALL_SECS=${STALL_SECS:-900}
+# Default must exceed a cold-cache first compile of the stage-1 train
+# program (~15-25 min on the remote-compile tunnel when ops changes
+# invalidate the persistent cache) — a watchdog kill mid-compile loses
+# the compile AND the cache entry, looping forever.
+STALL_SECS=${STALL_SECS:-2400}
 ATTEMPTS=${ATTEMPTS:-12}
 mkdir -p "$WORKDIR"
 cd "$(dirname "$0")/.."
