@@ -254,7 +254,13 @@ def main():
                            args.n_test, env_train, fovx, radius, target,
                            args.supersample, args.gt_backend)
     if args.init_cloud == "surface":
-        write_surface_cloud(scene, scene_dir)
+        # The cloud must be at least as dense as the requested init: splat
+        # sizes start at the KNN spacing, and the post-reset size prune
+        # (radii2d > 20 px after iter 3000) wipes any model whose surface
+        # splats are still >20 px — a 30k init on this scene converges at
+        # ~26 px median and collapses (800px post-mortem, round 4).
+        write_surface_cloud(scene, scene_dir,
+                            n_pts=max(40_000, args.max_init_points))
     np.save(os.path.join(args.workdir, "env_train_linear.npy"), env_train)
 
     report = {"scene": args.scene}
