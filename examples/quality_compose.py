@@ -90,7 +90,7 @@ def main():
     ap.add_argument("--n_views", type=int, default=8)
     ap.add_argument("--supersample", type=int, default=2)
     ap.add_argument("--gt_backend", choices=["jax", "numpy"], default="jax")
-    ap.add_argument("--report", default="QUALITY_r04.md")
+    ap.add_argument("--report", default="QUALITY_r05.md")
     args = ap.parse_args()
     t_start = time.time()
     os.makedirs(args.workdir, exist_ok=True)

@@ -27,7 +27,7 @@ sphere with latitudinal roughness bands plus a floating occluder sphere,
 so traced visibility and GGX roughness recovery are genuinely exercised.
 The training illumination is /root/reference/env_map/envmap6.exr and the
 relighting target envmap12.exr — the same real assets the reference
-evaluates with. Results land in QUALITY_r04.md. Crash resilience: each
+evaluates with. Results land in QUALITY_r05.md. Crash resilience: each
 stage auto-resumes from its newest periodic checkpoint, so a wrapper can
 simply re-run this script until it exits 0.
 
@@ -79,6 +79,36 @@ def diffuse_irradiance_max(env: np.ndarray, grid_h: int = 8) -> float:
 # ---------------------------------------------------------------------------
 # Dataset generation (Blender format, consumed by scene/dataset_readers.py)
 # ---------------------------------------------------------------------------
+
+def check_gt_cache(workdir: str, scene_dir: str, fp: dict) -> None:
+    """Invalidate cached GT (scene renders + relit views) when the
+    generation parameters changed: the view-level resume cache is keyed by
+    filename only, so a size/count/scene change would otherwise silently
+    reuse stale renders against freshly written transforms_*.json."""
+    import glob
+    import shutil
+    path = os.path.join(workdir, "gt_fingerprint.json")
+    old = None
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+    elif glob.glob(os.path.join(scene_dir, "train", "*.png")):
+        # Pre-fingerprint cache: validate the cheap invariant (image size).
+        from relightable3dgaussian_tpu.scene.image_io import load_img_rgb
+        sample = sorted(glob.glob(
+            os.path.join(scene_dir, "train", "*.png")))[0]
+        h = load_img_rgb(sample).shape[0]
+        old = dict(fp, size=h) if h != fp["size"] else fp
+    if old is not None and old != fp:
+        print(f"[gen] GT cache fingerprint changed {old} -> {fp}; "
+              "wiping cached views", flush=True)
+        for sub in ("train", "test", "gt_aux"):
+            shutil.rmtree(os.path.join(scene_dir, sub), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "gt_relit"), ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(fp, f)
+
 
 def write_dataset(scene, scene_dir: str, size: int, n_train: int,
                   n_test: int, env: np.ndarray, fovx: float, radius: float,
@@ -219,7 +249,7 @@ def main():
                     help="reuse the existing stage-1 checkpoint")
     ap.add_argument("--skip2", action="store_true",
                     help="reuse the existing stage-2 checkpoint")
-    ap.add_argument("--report", default="QUALITY_r04.md")
+    ap.add_argument("--report", default="QUALITY_r05.md")
     args = ap.parse_args()
     if args.quick:
         args.size, args.n_train, args.n_test = 100, 24, 4
@@ -246,6 +276,10 @@ def main():
     env_train *= scale
     env_relight *= scale * 1.2
 
+    check_gt_cache(args.workdir, scene_dir, {
+        "scene": args.scene, "size": args.size, "n_train": args.n_train,
+        "n_test": args.n_test, "supersample": args.supersample,
+        "fovx": fovx, "radius": round(radius, 6)})
     print(f"[gen] scene={args.scene} ({len(scene)} spheres), writing "
           f"{args.n_train}+{args.n_test} analytic views ({args.size}px, "
           f"ss={args.supersample}, {args.gt_backend} oracle) lit by "
@@ -401,6 +435,10 @@ def main():
     n_act = int(np.asarray(aux.active).sum())
     print(f"[eval] {n_act} gaussians after stage 2")
     report["n_gaussians"] = n_act
+    if n_act < 32:
+        raise SystemExit(
+            f"model collapsed ({n_act} active gaussians) — refusing to "
+            "write a quality report from an empty model")
 
     s_eval = max(args.sample_num, args.eval_sample_num)
     print(f"[eval] tracing visibility at {s_eval} samples", flush=True)

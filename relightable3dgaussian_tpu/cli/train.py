@@ -33,6 +33,18 @@ from ..utils.image import psnr as psnr_fn
 from .arguments import build_parser, extract_all, save_cfg_args
 
 
+class ModelCollapseError(RuntimeError):
+    """Raised when the active point count collapses during densification.
+
+    The round-4 800px post-mortem: a mis-ported prune cascaded 62k -> 0
+    points over ~3k iterations while the harness kept training and even
+    wrote metrics from the empty model. The guard turns that failure mode
+    into a loud, immediate, non-zero exit with quarantined checkpoints so
+    a retry wrapper resumes from pre-collapse state instead of the
+    collapsed tip.
+    """
+
+
 def report_trace_stats(vis) -> None:
     """Log tracer cap overflow; warn only on POSSIBLY-WRONG rays (vis > 0
     with overflow — overflow on a dead ray is certain, since dropped
@@ -126,8 +138,15 @@ def training(args) -> None:
         # --iterations is the TOTAL (e.g. stage-1 ckpt at 30k + stage-2
         # --iterations 40000 trains 10k more, script/run_nerf.sh:31).
         first_iter = it
+        n_restored = int(np.asarray(aux.active).sum())
         print(f"Restored checkpoint {args.checkpoint} at iteration {it}; "
-              f"{int(np.asarray(aux.active).sum())} active gaussians")
+              f"{n_restored} active gaussians")
+        if n_restored < getattr(args, "collapse_min_points", 32):
+            raise SystemExit(
+                f"restored checkpoint has only {n_restored} active "
+                f"gaussians (< {args.collapse_min_points}) — refusing to "
+                "train a collapsed model; resume from best_chkpnt.npz or "
+                "an earlier checkpoint")
     else:
         pts, cols, nrms = pcd.points, pcd.colors, pcd.normals
         if args.max_init_points and pts.shape[0] > args.max_init_points:
@@ -244,6 +263,24 @@ def training(args) -> None:
                       radius=2.5 * scene.cameras_extent)
             gui.setup_window()
 
+    # Best-test-PSNR checkpoint (collapse insurance): written alongside the
+    # periodic numbered checkpoints as best_chkpnt.npz (name deliberately
+    # does NOT match the chkpnt<iter>.npz resume glob — it is an explicit
+    # fallback, consumed on collapse or by --checkpoint best_chkpnt.npz).
+    best = {"psnr": -1.0, "iter": 0}
+
+    def save_best(iteration):
+        import json
+        path = os.path.join(model_cfg.model_path, "best_chkpnt")
+        ckpt.save_checkpoint(path, iteration, params=state["params"],
+                             aux=state["aux"], opt_state=state["opt_state"])
+        if is_pbr:
+            ckpt.save_checkpoint(
+                os.path.join(model_cfg.model_path, "env_light_best_chkpnt"),
+                iteration, env=state["env"], env_state=state["env_state"])
+        with open(os.path.join(model_cfg.model_path, "best.json"), "w") as f:
+            json.dump(best, f)
+
     def training_report(iteration):
         """Periodic train/test PSNR (reference training_report,
         train.py:209-273)."""
@@ -273,6 +310,9 @@ def training(args) -> None:
         logger.scalars(iteration, {"test_psnr": float(np.mean(psnrs))})
         print(f"[ITER {iteration}] test PSNR {np.mean(psnrs):.3f} "
               f"({len(psnrs)} views)")
+        if float(np.mean(psnrs)) > best["psnr"]:
+            best.update(psnr=float(np.mean(psnrs)), iter=iteration)
+            save_best(iteration)
 
     # Per-scalar float() costs a full device round trip each (expensive
     # through the TPU tunnel) and the callback runs every iteration, so
@@ -383,11 +423,22 @@ def training(args) -> None:
         raise SystemExit(f"--n_devices {n_devices} requested but only "
                          f"{len(jax.devices())} devices are visible")
     if not is_pbr:
-        params, aux, opt_state = _run_stage1(
-            params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
-            extent, state, callback, n_devices=n_devices,
-            max_cap=getattr(args, "max_capacity", 0) or 0,
-            first_iter=first_iter, replan_fn=replan_fn)
+        try:
+            params, aux, opt_state = _run_stage1(
+                params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
+                extent, state, callback, n_devices=n_devices,
+                max_cap=getattr(args, "max_capacity", 0) or 0,
+                first_iter=first_iter, replan_fn=replan_fn,
+                collapse_min_points=(
+                    0 if getattr(args, "no_collapse_guard", False)
+                    else getattr(args, "collapse_min_points", 32)))
+        except ModelCollapseError as e:
+            _quarantine_checkpoints(model_cfg.model_path, best["iter"])
+            print(f"MODEL COLLAPSE: {e}\nCheckpoints newer than the best "
+                  f"(iter {best['iter']}, test PSNR {best['psnr']:.2f}) "
+                  "were quarantined as collapsed_chkpnt*.npz; resume from "
+                  "best_chkpnt.npz or an earlier numbered checkpoint.")
+            raise SystemExit(3)
     else:
         ups = tuple(int(v) for v in
                     getattr(args, "env_upsample_iters", "").split(",") if v)
@@ -410,6 +461,23 @@ def training(args) -> None:
         evaluate(scene, params, aux, env, vis, pipe, model_cfg, args)
 
 
+def _quarantine_checkpoints(model_path: str, best_iter: int) -> None:
+    """Rename chkpnt<iter>.npz newer than best_iter to collapsed_* so
+    crash-resume (which globs chkpnt*.npz for the NEWEST) can never land on
+    post-collapse state."""
+    import glob
+    import re
+    for path in glob.glob(os.path.join(model_path, "*chkpnt*.npz")):
+        name = os.path.basename(path)
+        if name.startswith("collapsed_"):
+            continue
+        m = re.search(r"chkpnt(\d+)\.npz$", name)
+        if m and int(m.group(1)) > best_iter:
+            os.rename(path, os.path.join(os.path.dirname(path),
+                                         "collapsed_" + name))
+            print(f"[collapse] quarantined {name}")
+
+
 def _make_batcher(views, rng, n_devices, mesh):
     """Returns a fn popping n_devices views per call as a sharded batch."""
     from ..parallel import shard_views
@@ -429,7 +497,7 @@ def _make_batcher(views, rng, n_devices, mesh):
 
 def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                 extent, state, callback, n_devices=1, max_cap=0,
-                first_iter=0, replan_fn=None):
+                first_iter=0, replan_fn=None, collapse_min_points=32):
     rng = np.random.default_rng(0)
     stack = []
     key = jax.random.PRNGKey(0)
@@ -444,15 +512,22 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
         params, aux, opt_state = replicate((params, aux, opt_state), mesh)
         next_batch = _make_batcher(views, rng, n_devices, mesh)
 
-    def maybe_replan(iteration, p, a):
+    def maybe_replan(iteration, p, a, cause="periodic", bump_if_same=False):
         """Adopt a re-measured binning plan (footprints drift as densify
         splits gaussians; capacity growth re-compiles anyway)."""
         nonlocal cfg, dp_step
         if replan_fn is None:
             return
         new_cfg = replan_fn(cfg, p, a)
+        if new_cfg == cfg and bump_if_same:
+            # The probe views under-measured the overflowing views; buy
+            # headroom directly (the CUDA reference's per-call buffer
+            # resize, rasterizer_impl.cu:199-230, never drops pairs).
+            import dataclasses as _dc
+            new_cfg = _dc.replace(cfg,
+                                  buffer_multiple=cfg.buffer_multiple + 2)
         if new_cfg != cfg:
-            print(f"[ITER {iteration}] binning re-plan: "
+            print(f"[ITER {iteration}] binning re-plan ({cause}): "
                   f"tier_plan={new_cfg.tier_plan} "
                   f"buffer_multiple={new_cfg.buffer_multiple}")
             cfg = new_cfg
@@ -460,6 +535,9 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                 dp_step = make_dp_train_step(
                     mesh, cfg=cfg, opt=opt,
                     spatial_lr_scale=spatial_lr_scale)
+
+    n_prev = peak_pts = int(np.asarray(aux.active).sum())
+    ov_streak = 0
     # resume continues the iteration count (reference train.py:35-37)
     for iteration in range(first_iter + 1, opt.iterations + 1):
         key, k1, k2 = jax.random.split(key, 3)
@@ -503,6 +581,21 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                         params, aux = G.grow_capacity(params, aux, new_cap)
                         opt_state = _grow_opt_state(opt_state, params)
                         maybe_replan(iteration, params, aux)
+                # Collapse guard: a healthy run never bleeds points in
+                # steady state (post-first-opacity-reset); the round-4
+                # failure shed 3-5k/cycle for 3k iterations unnoticed.
+                n_after = int(dstats.n_active)
+                peak_pts = max(peak_pts, n_after)
+                if collapse_min_points:
+                    steady = iteration > opt.opacity_reset_interval
+                    if (n_after < collapse_min_points
+                            or (steady and n_after < 0.45 * n_prev)
+                            or (steady and n_after < 0.3 * peak_pts)):
+                        raise ModelCollapseError(
+                            f"active points {n_prev} -> {n_after} at "
+                            f"iteration {iteration} (peak {peak_pts}, "
+                            f"floor {collapse_min_points})")
+                n_prev = n_after
                 # Footprints drift as densify splits gaussians; re-measure
                 # the plan every 10 densify cycles (snap-to-grid keeps
                 # unchanged plans from recompiling).
@@ -513,6 +606,21 @@ def _run_stage1(params, aux, opt_state, views, cfg, opt, spatial_lr_scale,
                     and iteration == opt.densify_from_iter):
                 params, opt_state = stage1.reset_opacity_step(
                     params, opt_state)
+        if (replan_fn is not None
+                and iteration % opt.densification_interval == 0):
+            # Overflow-triggered replan: sustained pair drops (growth can
+            # outpace the 10-cycle periodic replan) bias densify stats, so
+            # re-plan as soon as the overflow is persistent rather than
+            # waiting out the period. One scalar pull per 100 iters.
+            ovp = int(np.asarray(metrics.get("overflow_pairs", 0)))
+            budget = cfg.buffer_multiple * params.capacity
+            ov_streak = (ov_streak + 1
+                         if ovp > max(512, 0.002 * budget) else 0)
+            if ov_streak >= 3:
+                maybe_replan(iteration, params, aux,
+                             cause=f"sustained overflow {ovp}/{budget}",
+                             bump_if_same=True)
+                ov_streak = 0
         state.update(params=params, aux=aux, opt_state=opt_state)
         callback(iteration, metrics)
     return params, aux, opt_state
@@ -725,6 +833,14 @@ def main(argv=None):
     parser.add_argument("--gui", action="store_true",
                         help="live dearpygui viewer embedded in the loop "
                              "(reference train.py:81-104)")
+    parser.add_argument("--collapse_min_points", type=int, default=32,
+                        help="abort (exit 3) when active gaussians fall "
+                             "below this floor, drop >55%% in one densify "
+                             "cycle, or fall below 30%% of their peak "
+                             "(post-first-opacity-reset); post-best "
+                             "checkpoints are quarantined")
+    parser.add_argument("--no_collapse_guard", action="store_true",
+                        help="disable the densification collapse guard")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     np.random.seed(args.seed)

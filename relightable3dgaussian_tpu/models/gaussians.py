@@ -320,11 +320,18 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux,
     max_scale = get_scaling(params).max(-1)
 
     prune = act & ((opac < min_opacity) | (aux.weights_accum < weights_threshold))
-    # max_screen_size may be traced; pass jnp.inf to disable (the reference
-    # passes None before iteration 3000, train.py:167).
-    prune = prune | (act & ((aux.max_radii2d > max_screen_size)
-                            | ((max_scale > 0.1 * extent)
-                               & (max_screen_size < jnp.inf))))
+    # Screen-size prune parity: the reference's densify_and_prune reads
+    # big_points_vs = max_radii2D > max_screen_size (gaussian_model.py:907)
+    # AFTER densification_postfix has just reset max_radii2D to zeros
+    # (gaussian_model.py:788, run unconditionally by both clone and split)
+    # — so under train.py's call pattern the radii2d>20px prune NEVER
+    # fires; only the world-size term acts. Implementing the written-but-
+    # dead semantics (window-max radii2d > 20px) pruned 20k/62k points in
+    # one cycle at 800px and collapsed the model (round-4 post-mortem).
+    # max_screen_size gates the world-size term exactly like the reference
+    # (None before iteration 3000, train.py:167; jnp.inf here = disabled).
+    prune = prune | (act & (max_scale > 0.1 * extent)
+                     & (max_screen_size < jnp.inf))
 
     sel = (grads >= grad_threshold) | (grads_n >= grad_normal_threshold)
     sel = sel & act & ~prune
@@ -444,7 +451,10 @@ def prune_only(params: GaussianParams, aux: GaussianAux,
                opt_moments: tuple[Any, Any], *, min_opacity: float,
                extent: float, max_screen_size: float | None,
                weights_threshold: float = 1e-4):
-    """Prune without densifying (gaussian_model.py:890-907 `prune`)."""
+    """Prune without densifying (the reference's standalone `prune`,
+    gaussian_model.py:916-929). Unlike densify_and_prune, the screen-size
+    term DOES act here: no densification_postfix precedes it, so the
+    accumulated max_radii2D is live (train.py never calls it, though)."""
     act = aux.active
     opac = get_opacity(params)[:, 0]
     max_scale = get_scaling(params).max(-1)

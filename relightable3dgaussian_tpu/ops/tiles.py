@@ -87,6 +87,8 @@ def _dp_tier_divisors(t, P: int, cap_fn, max_tiers: int) -> list[int]:
     divisor menu (the u32 pair sort is the dominant binning cost).
     """
     import numpy as np
+    if P == 0:
+        return []
     heads = np.flatnonzero(np.diff(t, prepend=t[0] + 1))
     cand = np.unique(np.concatenate([heads, [P]])).astype(np.int64)
     n = len(cand)
@@ -346,6 +348,11 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
     assert (n_tiles + 1) * P2 < 2 ** 32, (
         f"tile/point count too large for packed keys "
         f"({n_tiles} tiles x {P2}); shrink capacity or tile the image")
+    # Ranks ride through the f32 emission table (exact integers only below
+    # 2^24); few-tile images admit P2 up to ~2^26 under the key-space
+    # assert alone, where ranks would silently round and corrupt sort keys.
+    assert P < (1 << 24), (
+        f"point capacity {P} exceeds f32-exact rank range (2^24)")
 
     emit = jnp.minimum(prep.tiles_touched, dmax)
 

@@ -123,3 +123,57 @@ class TestTrainCLI:
         ])
         assert os.path.exists(frames_dir / "render_0000.png")
         assert os.path.exists(frames_dir / "render_0001.png")
+
+
+class TestCollapseGuard:
+    def test_guard_aborts_and_quarantines(self, dataset, tmp_path_factory):
+        """An unreachable floor makes the first densify boundary trip the
+        guard: exit code 3, and checkpoints newer than the best are
+        renamed collapsed_* so crash-resume cannot land on them."""
+        import glob
+
+        from relightable3dgaussian_tpu.cli import train as train_cli
+        out = tmp_path_factory.mktemp("model_collapse")
+        with pytest.raises(SystemExit) as ex:
+            train_cli.main([
+                "-s", str(dataset), "-m", str(out),
+                "--iterations", "12", "--capacity", "512",
+                "--max_init_points", "300", "--chunk", "32",
+                "--max_chunks_per_tile", "16",
+                "--max_tiles_per_gaussian", "4",
+                "--densify_from_iter", "4", "--densification_interval", "6",
+                "--densify_until_iter", "12",
+                "--collapse_min_points", "100000",
+                "--save_interval", "100", "--checkpoint_interval", "3",
+                "--log_interval", "4",
+            ])
+        assert ex.value.code == 3
+        assert glob.glob(str(out / "collapsed_chkpnt*.npz"))
+        assert not glob.glob(str(out / "chkpnt*.npz"))
+
+    def test_restore_refuses_collapsed_checkpoint(self, dataset,
+                                                  tmp_path_factory):
+        """Restoring a checkpoint whose active count is below the floor
+        exits non-zero instead of training an empty model (the round-4
+        zombie trained 37k+ stage-2 iterations on 0 points)."""
+        from relightable3dgaussian_tpu.cli import train as train_cli
+        out = tmp_path_factory.mktemp("model_floor")
+        train_cli.main([
+            "-s", str(dataset), "-m", str(out),
+            "--iterations", "4", "--capacity", "512",
+            "--max_init_points", "300", "--chunk", "32",
+            "--max_chunks_per_tile", "16", "--max_tiles_per_gaussian", "4",
+            "--densify_from_iter", "100", "--save_interval", "4",
+            "--checkpoint_interval", "4", "--log_interval", "4",
+        ])
+        with pytest.raises(SystemExit):
+            train_cli.main([
+                "-s", str(dataset), "-m", str(out),
+                "-c", str(out / "chkpnt4.npz"),
+                "--iterations", "8", "--chunk", "32",
+                "--max_chunks_per_tile", "16",
+                "--max_tiles_per_gaussian", "4",
+                "--collapse_min_points", "100000",
+                "--save_interval", "8", "--checkpoint_interval", "8",
+                "--log_interval", "8",
+            ])

@@ -123,6 +123,45 @@ class TestTrainStep:
             np.mean(first_psnr), np.mean(last_psnr))
         assert np.mean(last_psnr) > 18.0
 
+    def test_survives_opacity_reset_cycles(self):
+        """Two opacity-reset cycles with the post-reset size threshold
+        active and BIG on-screen splats (init radii well above the 20px
+        gate): the round-4 800px run bled 62k -> 0 points exactly here.
+        With the reference's effective semantics (screen-size prune dead
+        inside densify_and_prune, gaussian_model.py:788 vs :907) the
+        population must survive both cycles."""
+        key = jax.random.PRNGKey(0)
+        gt = gt_scene(key)
+        gt = gt.replace(scaling=jnp.full_like(gt.scaling, np.log(0.3)))
+        cams = make_cameras(dist=2.2)
+        views = render_gt_views(gt, cams)
+        cap = 256
+        n0 = 60
+        params, aux = G.create_from_pcd(
+            gt.xyz, jnp.full((n0, 3), 0.5),
+            jnp.tile(jnp.array([0.0, 0, 1.0]), (n0, 1)), capacity=cap)
+        opt_state = init_adam(params)
+        # extent=8: world-size prune (0.1*extent=0.8) stays out of the way;
+        # the screen-size path is what this test exercises.
+        opt = OptimizationConfig(iterations=260, densify_from_iter=20,
+                                 densify_until_iter=260,
+                                 densification_interval=25,
+                                 opacity_reset_interval=100,
+                                 position_lr_max_steps=260)
+        counts = []
+
+        def cb(it, metrics):
+            if "densify" in metrics:
+                counts.append((it, int(metrics["densify"].n_active)))
+
+        run_training_schedule(
+            params, aux, opt_state, views, cfg=CFG, opt=opt,
+            spatial_lr_scale=1.0, extent=8.0, key=jax.random.PRNGKey(2),
+            callback=cb)
+        post_reset = [n for it, n in counts if it > 100]
+        assert post_reset, counts
+        assert min(post_reset) > 0.5 * n0, counts
+
     def test_metrics_finite(self):
         gt = gt_scene(jax.random.PRNGKey(3), n=20)
         cams = make_cameras(2)
@@ -259,6 +298,51 @@ class TestDensify:
         params, aux, opt_state = self._setup()
         params, opt_state = reset_opacity_step(params, opt_state)
         assert float(G.get_opacity(params).max()) <= 0.0101
+
+    def test_screen_size_prune_is_dead_reference_parity(self):
+        """The reference's densify_and_prune reads big_points_vs =
+        max_radii2D > max_screen_size (gaussian_model.py:907) AFTER
+        densification_postfix has just zeroed max_radii2D
+        (gaussian_model.py:788, run unconditionally by clone AND split) —
+        so the screen-size prune NEVER fires there. Round-4 800px collapse
+        root cause: we implemented the written-but-dead semantics and the
+        window-max radii2d>20px prune wiped 20k/62k points in one cycle.
+        This pins the reference's EFFECTIVE behavior."""
+        params, aux, opt_state = self._setup()
+        aux = aux.replace(
+            max_radii2d=aux.max_radii2d + 50.0,  # well above the 20px gate
+            weights_accum=aux.weights_accum + 1.0,
+            denom=aux.denom + 1.0)
+        opt = OptimizationConfig()
+        n_before = int(aux.active.sum())
+        params, aux, opt_state, stats = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(20.0), jnp.asarray(100.0),
+            opt=opt)
+        assert int(stats.n_pruned) == 0
+        assert int(aux.active.sum()) == n_before
+
+    def test_world_size_prune_gated_by_screen_threshold(self):
+        """big_points_ws (scale > 0.1*extent) prunes ONLY when
+        max_screen_size is set (reference gaussian_model.py:906-909:
+        the whole size block is inside `if max_screen_size:`)."""
+        params, aux, opt_state = self._setup()
+        params = params.replace(
+            scaling=params.scaling.at[:4].set(np.log(1.5)))
+        aux = aux.replace(weights_accum=aux.weights_accum + 1.0,
+                          denom=aux.denom + 1.0)
+        opt = OptimizationConfig()
+        # extent=10 -> 0.1*extent=1.0: only the 4 enlarged points are big
+        _, aux_gated, _, stats_gated = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(20.0), jnp.asarray(10.0),
+            opt=opt)
+        assert int(stats_gated.n_pruned) == 4
+        _, aux_off, _, stats_off = densify_step(
+            params, aux, opt_state, jax.random.PRNGKey(0),
+            jnp.asarray(99999.0), jnp.asarray(np.inf), jnp.asarray(10.0),
+            opt=opt)
+        assert int(stats_off.n_pruned) == 0
 
 
 class TestDensifyStatsConvention:
