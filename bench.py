@@ -10,6 +10,14 @@ import os
 import sys
 import time
 
+# Virtual CPU devices for the multi-device eval-path rows (must be set
+# before the first jax import; the TPU stays the default backend).
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from relightable3dgaussian_tpu.utils.compile_cache import \
@@ -186,12 +194,92 @@ def main():
     except Exception as e:
         log(f"pbr train bench failed: {type(e).__name__}: {e}")
 
+    # Secondary: the per-view cost the relighting-eval protocol actually
+    # pays (eval_relighting_syn4 --sample_num 384, readme.md:141-144):
+    # full eval-path render_neilf (S=384 shading + EVAL_FEATURE_DIM splat)
+    # at 800x800 on one chip. The companion one-time cost is the S=384
+    # trace row below.
+    try:
+        import dataclasses
+        from relightable3dgaussian_tpu.models.render_neilf import (
+            EVAL_FEATURE_DIM, VisibilityCache, render_neilf)
+        from relightable3dgaussian_tpu.models.lights import init_direct_light
+        from relightable3dgaussian_tpu.models import gaussians as GM2
+        from relightable3dgaussian_tpu.utils.graphics import \
+            fibonacci_sphere_sampling
+        s_eval = 384
+        params_e = GM2.add_pbr_params(params)
+        dirs_e, areas_e = fibonacci_sphere_sampling(
+            jnp.tile(jnp.array([0.0, 0, 1.0]), (n, 1)), s_eval)
+        vis_e = VisibilityCache(visibility=jnp.ones((n, s_eval, 1)),
+                                incident_dirs=dirs_e,
+                                incident_areas=areas_e)
+        env_e = init_direct_light(16, 3.0)
+        cfg_e = dataclasses.replace(cfg, feature_dim=EVAL_FEATURE_DIM,
+                                    compute_weights=True)
+
+        @jax.jit
+        def eval_frame(p, active, view):
+            return render_neilf(view, p, active, cfg_e, bg, env_e, vis_e,
+                                is_training=False)["pbr"]
+
+        t0 = time.time()
+        img_e = eval_frame(params_e, aux.active, view)
+        sync(img_e)
+        log(f"eval-relight frame compile+first (P={n}, S={s_eval}, 800px): "
+            f"{time.time() - t0:.1f}s")
+        t0 = time.time()
+        for _ in range(5):
+            img_e = eval_frame(params_e, aux.active, view)
+        sync(img_e)
+        dt_e = (time.time() - t0) / 5
+        log(f"eval-relight frame steady: {dt_e * 1e3:.0f} ms/view "
+            f"(+ one-time S=384 trace, row below)")
+    except Exception as e:
+        log(f"eval-relight frame bench failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "render_fps_800x800_100k",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
     }))
+
+    # Secondary: multi-device eval-path exactness machinery on the virtual
+    # 8-CPU mesh (timing meaningless on CPU — reported are the escalation
+    # rounds and retraced-ray counts that an 8-chip eval would pay).
+    try:
+        from relightable3dgaussian_tpu.parallel import make_mesh
+        from relightable3dgaussian_tpu.parallel.point_sharded import \
+            make_sharded_trace
+        from relightable3dgaussian_tpu.ops.ray_trace import build_bvh
+        from relightable3dgaussian_tpu.utils.graphics import \
+            fibonacci_sphere_sampling
+        cpus = jax.devices("cpu")
+        p_c = 2048
+        kc = jax.random.split(jax.random.PRNGKey(3), 4)
+        dsh = jax.random.normal(kc[0], (p_c, 3))
+        dsh = dsh / jnp.linalg.norm(dsh, axis=-1, keepdims=True)
+        with jax.default_device(cpus[0]):
+            xyz_c = jnp.asarray(dsh * (1.0 + 0.02 * jax.random.normal(
+                kc[1], (p_c,))[:, None]))
+            scl_c = jnp.tile(jnp.asarray([0.05, 0.05, 0.01]), (p_c, 1))
+            rot_c = jnp.zeros((p_c, 4)).at[:, 0].set(1.0)
+            op_c = jnp.full((p_c,), 0.8)
+            bvh_c = build_bvh(xyz_c, scl_c, rot_c, op_c, -dsh)
+            mesh_c = make_mesh(cpus)
+            tr = make_sharded_trace(mesh_c, max_clusters=8, max_supers=4)
+            d_c, _ = fibonacci_sphere_sampling(-dsh, 64, key=None)
+            ro = jnp.broadcast_to(xyz_c[:, None],
+                                  (p_c, 64, 3)).reshape(-1, 3)
+            v = tr(bvh_c, ro, d_c.reshape(-1, 3))
+        log(f"sharded trace escalation (8-dev CPU mesh, P={p_c}, S=64, "
+            f"start caps 4/8): mean_vis={float(v.mean()):.4f} "
+            f"rounds={tr.last_stats['rounds']} "
+            f"retraced_rays={tr.last_stats['retraced_rays']}"
+            f"/{ro.shape[0]}")
+    except Exception as e:
+        log(f"sharded escalation bench failed: {type(e).__name__}: {e}")
 
     # Secondary: ray-traced visibility at the reference's training scale
     # (P=100k, S=64 → 6.4M rays; runs once per stage-2 job,

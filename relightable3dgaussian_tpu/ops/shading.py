@@ -26,7 +26,11 @@ def ggx_specular(normal: jnp.ndarray, pts2c: jnp.ndarray, pts2l: jnp.ndarray,
     """GGX specular term.
 
     Args:
-      normal: [P, 3]; pts2c: [P, 3] view dirs; pts2l: [P, S, 3] light dirs;
+      normal: [P, 3]; pts2c: [P, 3] view dirs; pts2l: [P, S, 3] light dirs,
+        MUST be unit length (Fibonacci incident dirs are by construction —
+        skipping their re-normalization saves a [P, S, 3] rsqrt+mul pass on
+        the hot stage-2 path; the reference normalizes an already-unit
+        input too, neilf.py:377).
       roughness: [P, 1].
     Returns:
       [P, S, 1] specular reflectance.
@@ -35,7 +39,7 @@ def ggx_specular(normal: jnp.ndarray, pts2c: jnp.ndarray, pts2l: jnp.ndarray,
         return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
                                1e-12)
 
-    L = norm(pts2l)                       # [P, S, 3]
+    L = pts2l                             # [P, S, 3] (unit by contract)
     V = norm(pts2c)                       # [P, 3]
     H = norm((L + V[:, None, :]) / 2.0)   # [P, S, 3]
     N = norm(normal)                      # [P, 3]
@@ -92,13 +96,15 @@ def rendering_equation(base_color: jnp.ndarray, roughness: jnp.ndarray,
 
     n_d_i = jnp.maximum(
         (normals[:, None] * incident_dirs).sum(-1, keepdims=True), 0.0)
-    f_d = base_color[:, None] / np.pi
     f_s = ggx_specular(normals, viewdirs, incident_dirs, roughness)
 
-    transport = incident_lights * incident_areas * n_d_i   # [P, S, 3]
+    transport = incident_lights * (incident_areas * n_d_i)  # [P, S, 3]
     specular = (f_s * transport).mean(-2)
-    pbr = ((f_d + f_s) * transport).mean(-2)
     diffuse_light = transport.mean(-2)
+    # f_d is constant over S, so mean_S((f_d + f_s) * transport) factors as
+    # f_d * mean(transport) + mean(f_s * transport) — one fewer [P, S, 3]
+    # product + reduction than the reference's literal form (neilf.py:359).
+    pbr = base_color / np.pi * diffuse_light + specular
 
     extras = {
         "incident_dirs": incident_dirs,

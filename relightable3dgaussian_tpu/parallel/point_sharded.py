@@ -96,7 +96,8 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 96,
     `trace_visibility_adaptive` (ops/ray_trace.py): a ray can only be wrong
     when its T >= 0.9 AND it overflowed the caps, so those rays are
     gathered, re-sharded, and retraced at escalated caps until none remain
-    (or the cap limit). This recovers the CUDA LBVH's per-ray exactness
+    (or the cap limit); after each concrete call `fn.last_stats` reports
+    {rounds, retraced_rays}. This recovers the CUDA LBVH's per-ray exactness
     (bvh/src/trace.cu:196-287) on the multi-chip path — previously only the
     single-device tracer escalated, and a v5e-8 stage-2 run silently kept
     the biased capped pass.
@@ -143,6 +144,7 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 96,
         n_clusters = bvh.cluster_lo.shape[0]
         R = vis.shape[0]
         m = mesh.size
+        fn.last_stats = {"rounds": 0, "retraced_rays": 0}
         if adaptive and not isinstance(rays_o, jax.core.Tracer):
             for _ in range(max_rounds):
                 if kc >= min(cap_limit, n_clusters):
@@ -152,6 +154,8 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 96,
                 n_unc = int(uncertain.sum())
                 if n_unc == 0:
                     break
+                fn.last_stats["rounds"] += 1
+                fn.last_stats["retraced_rays"] += n_unc
                 kc = min(escalation * kc, cap_limit, n_clusters)
                 ks = min(escalation * ks, bvh.super_lo.shape[0])
                 # pad the retrace set to a power of two (compiled-program
