@@ -44,17 +44,27 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.quaternions import quaternion_to_rotmat
 from .knn import morton_codes
 
-# Per-gaussian TRACE FEATURES: the pairwise quadratic forms the per-gaussian
-# test needs (utility.cuh:91-110) are bilinear in a 16-dim gaussian vector
-# and a 16-dim ray vector, so a block's whole [rays x gaussians] evaluation
-# is ONE MXU matmul (see `_ray_feature_groups`). Rows:
-#   0      g . (inv_cov) g
-#   1:4    (inv_cov) g
-#   4:10   inv_cov packed with doubled off-diagonals
-#          [Qxx, Qyy, Qzz, 2Qxy, 2Qxz, 2Qyz]
-#   10:13  normal
-#   13     opacity
-#   14:16  zero pad
+# Per-gaussian TRACE FEATURES: the per-gaussian test (utility.cuh:91-110)
+# is evaluated through WHITENED per-pair vectors u = W(g - o), v = W d with
+# W = diag(1/s) Rᵀ (so Σ⁻¹ = WᵀW): each component of u/v (and n·d) is
+# LINEAR in the 16-dim gaussian vector below against a ray vector built
+# from [1, o, d], so a block's whole [rays x gaussians] evaluation is ONE
+# MXU matmul (see `_ray_feature_groups`), and the max-response power
+# -0.5 |u - t v|² is a sum of squares of matmul outputs. The earlier
+# quadratic-form expansion (gᵀΣ⁻¹g - 2oᵀΣ⁻¹g + oᵀΣ⁻¹o ...) referenced all
+# monomials to the GLOBAL origin: with trained scales down to ~1e-5 the
+# Σ⁻¹ entries reach 1e10, the expansion terms cancel catastrophically in
+# f32, and the noise flipped power's sign so the clamp made alpha jump to
+# full opacity — rays died everywhere (traced surface vis 0.04 where the
+# analytic oracle says 0.88). The whitened form cancels LINEARLY (inside
+# the dot, at full f32) and its power is non-positive by construction.
+# Rows:
+#   0:3    W g
+#   3:6    W row 0
+#   6:9    W row 1
+#   9:12   W row 2
+#   12     opacity
+#   13:16  normal
 FEAT_DIM = 16
 QUAD = 4       # clusters per packed feature tile (fetch/selection group)
 
@@ -167,19 +177,17 @@ def build_bvh(xyz: jnp.ndarray, scaling: jnp.ndarray, rotation: jnp.ndarray,
     xyz_s = xyz[order_p].astype(jnp.float32)
     cov_s = cov_inv[order_p].astype(jnp.float32)
     nrm_s = normal[order_p].astype(jnp.float32)
-    qg = jnp.stack([cov_s[:, 0] * xyz_s[:, 0] + cov_s[:, 1] * xyz_s[:, 1]
-                    + cov_s[:, 2] * xyz_s[:, 2],
-                    cov_s[:, 1] * xyz_s[:, 0] + cov_s[:, 3] * xyz_s[:, 1]
-                    + cov_s[:, 4] * xyz_s[:, 2],
-                    cov_s[:, 2] * xyz_s[:, 0] + cov_s[:, 4] * xyz_s[:, 1]
-                    + cov_s[:, 5] * xyz_s[:, 2]], axis=-1)   # (Σ⁻¹ g)
+    # Whitening W = diag(1/s) Rᵀ per gaussian: W[i, j] = R[j, i] / s_i.
+    R_s = quaternion_to_rotmat(rotation[order_p]).astype(jnp.float32)
+    W_s = (jnp.swapaxes(R_s, -1, -2)
+           / jnp.maximum(scaling[order_p], 1e-8).astype(
+               jnp.float32)[..., :, None])                   # [P, 3, 3]
+    wg = jnp.einsum("pij,pj->pi", W_s, xyz_s)                # W g
     feat = jnp.zeros((C * cluster_size, FEAT_DIM), jnp.float32)
-    feat = feat.at[:, 0].set((qg * xyz_s).sum(-1))
-    feat = feat.at[:, 1:4].set(qg)
-    feat = feat.at[:, 4:10].set(cov_s[:, (0, 3, 5, 1, 2, 4)]
-                                * jnp.array([1.0, 1, 1, 2, 2, 2]))
-    feat = feat.at[:, 10:13].set(nrm_s)
-    feat = feat.at[:, 13].set(op_sorted.astype(jnp.float32))
+    feat = feat.at[:, 0:3].set(wg)
+    feat = feat.at[:, 3:12].set(W_s.reshape(-1, 9))
+    feat = feat.at[:, 12].set(op_sorted.astype(jnp.float32))
+    feat = feat.at[:, 13:16].set(nrm_s)
     qs = QUAD * cluster_size
     feat = feat.reshape(C // QUAD, qs, FEAT_DIM).transpose(0, 2, 1)
     feat = jnp.concatenate(
@@ -350,50 +358,61 @@ def _cull_chunk(bvh: GaussianBVH, pad_lo, pad_hi, o, inv_d, kq: int,
     return sel_q, qbits, c_over + s_over
 
 
+# Number of stacked ray-feature rows per ray (u₁u₂u₃ v₁v₂v₃ nd + zero pad
+# to a power-of-two sublane count).
+_RF_GROUPS = 8
+
+
 def _ray_feature_groups(o, d):
     """Per-ray feature rows for the MXU pairwise evaluation.
 
     For a gaussian trace-feature column e (see FEAT_DIM docs) and ray
-    (o, d), the per-gaussian test scalars are plain dot products:
-      A  = r_A . e = mu . Σ⁻¹ mu          (mu = g - o)
-      Bq = r_B . e = mu . Σ⁻¹ d
-      Cq = r_C . e = d . Σ⁻¹ d
-      nd = r_N . e = n . d
-    so a [B, 4*FEAT_DIM-stacked] x [FEAT_DIM, N] matmul evaluates every
-    (ray, gaussian) pair of a block on the MXU. o/d [..., B, 3]; returns
-    [..., 4, B, FEAT_DIM]."""
+    (o, d), the whitened per-pair vectors are plain dot products:
+      u_i = r_ui . e = (W g)_i - W_i . o = (W (g - o))_i
+      v_i = r_vi . e = W_i . d
+      nd  = r_N  . e = n . d
+    so a [B, 8*FEAT_DIM-stacked] x [FEAT_DIM, N] matmul evaluates every
+    (ray, gaussian) pair of a block on the MXU (row 8 is zero padding).
+    Each u_i cancels LINEARLY inside the f32 dot — well-conditioned even
+    for near-degenerate gaussians whose Σ⁻¹ entries reach 1e10 (see the
+    FEAT_DIM note). o/d [..., B, 3]; returns [..., 8, B, FEAT_DIM]."""
     ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
     dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
     one = jnp.ones_like(ox)
     zero = jnp.zeros_like(ox)
-    rA = jnp.stack([one, -2.0 * ox, -2.0 * oy, -2.0 * oz,
-                    ox * ox, oy * oy, oz * oz, ox * oy, ox * oz, oy * oz,
-                    zero, zero, zero, zero, zero, zero], axis=-1)
-    rB = jnp.stack([zero, dx, dy, dz,
-                    -ox * dx, -oy * dy, -oz * dz,
-                    -0.5 * (ox * dy + oy * dx), -0.5 * (ox * dz + oz * dx),
-                    -0.5 * (oy * dz + oz * dy),
-                    zero, zero, zero, zero, zero, zero], axis=-1)
-    rC = jnp.stack([zero, zero, zero, zero,
-                    dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
-                    zero, zero, zero, zero, zero, zero], axis=-1)
-    rN = jnp.stack([zero, zero, zero, zero, zero, zero, zero, zero, zero,
-                    zero, dx, dy, dz, zero, zero, zero], axis=-1)
-    return jnp.stack([rA, rB, rC, rN], axis=-3)    # [..., 4, B, F]
+
+    def row(vals):  # vals: {feat_idx: array}
+        return jnp.stack([vals.get(f, zero) for f in range(FEAT_DIM)],
+                         axis=-1)
+
+    rows = []
+    for i in range(3):                      # u_i = (Wg)_i - W_i . o
+        rows.append(row({i: one, 3 + 3 * i: -ox, 4 + 3 * i: -oy,
+                         5 + 3 * i: -oz}))
+    for i in range(3):                      # v_i = W_i . d
+        rows.append(row({3 + 3 * i: dx, 4 + 3 * i: dy, 5 + 3 * i: dz}))
+    rows.append(row({13: dx, 14: dy, 15: dz}))   # nd = n . d
+    rows.append(row({}))                         # zero pad
+    return jnp.stack(rows, axis=-3)         # [..., 8, B, F]
 
 
-def _pair_test(A, Bq, Cq, nd, op, mask=None):
+def _pair_test(u1, u2, u3, v1, v2, v3, nd, op, mask=None):
     """Shared elementwise tail of the per-gaussian test (trace.cu:232-254):
-    given the four matmul scalars + broadcast opacity, return
+    given the whitened matmul scalars + broadcast opacity, return
     (one_minus_alpha, okf) as f32 arrays. `mask` (optional, f32 0/1)
-    applies the (quarter, quad) slab cut."""
-    t = Bq / jnp.maximum(Cq, 1e-12)    # max-response position along ray
-    # A - Bq*t = residual quadratic (mu - t d).Σ⁻¹(mu - t d) >= 0
-    # analytically; f32 cancellation can leave it slightly negative, so
-    # power is clamped to <= 0 rather than used as a skip condition (the
-    # oracle's `power > 0: continue` fires only on rounding noise where
-    # alpha ~= op * exp(-0) either way).
-    power = jnp.minimum(-0.5 * (A - Bq * t), 0.0)
+    applies the (quarter, quad) slab cut.
+
+    t = (u.v)/(v.v) is the max-response ray parameter (identical to the
+    reference's Bq/Cq — u.v = μᵀΣ⁻¹d, v.v = dᵀΣ⁻¹d); the residual
+    r = u - t v gives power = -0.5 |r|², NON-POSITIVE by construction, so
+    the reference's `power > 0: continue` (which fires only on rounding
+    noise, trace.cu:246-248) needs no counterpart here."""
+    vv = jnp.maximum(v1 * v1 + v2 * v2 + v3 * v3, 1e-12)
+    t = (u1 * v1 + u2 * v2 + u3 * v3) / vv
+    r1 = u1 - t * v1
+    r2 = u2 - t * v2
+    r3 = u3 - t * v3
+    power = -0.5 * (r1 * r1 + r2 * r2 + r3 * r3)
     ok = ((op >= 1.0 / 255.0) & (nd <= 0.0) & (t >= 0.01))
     okf = ok.astype(jnp.float32)
     if mask is not None:
@@ -421,11 +440,13 @@ def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q, qbits=None):
     Kq = sel_q.shape[1]
     work = bvh.feat[sel_q]                             # [G, Kq, F, qs]
     w = work.transpose(0, 2, 1, 3).reshape(G_, FEAT_DIM, Kq * qs)
-    rf = _ray_feature_groups(o, d)                     # [G, 4, B, F]
+    rf = _ray_feature_groups(o, d)                     # [G, 8, B, F]
     scal = jnp.einsum("gkbf,gfn->gkbn", rf, w,
-                      preferred_element_type=jnp.float32)
-    A, Bq, Cq, nd = scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3]
-    op = w[:, 13][:, None, :]                          # [G, 1, N]
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    u1, u2, u3 = scal[:, 0], scal[:, 1], scal[:, 2]
+    v1, v2, v3, nd = scal[:, 3], scal[:, 4], scal[:, 5], scal[:, 6]
+    op = w[:, 12][:, None, :]                          # [G, 1, N]
     mask = None
     if qbits is not None:
         # Same (quarter, quad) cut the Pallas kernel takes: a ray only
@@ -436,7 +457,7 @@ def _eval_blocks_jnp(bvh: GaussianBVH, o, d, sel_q, qbits=None):
             // (B // nq)
         hit = ((qbits[:, None, :] >> quarter) & 1).astype(jnp.float32)
         mask = jnp.repeat(hit, qs, axis=2)             # [G, B, N]
-    one_m_alpha, okf = _pair_test(A, Bq, Cq, nd, op, mask)
+    one_m_alpha, okf = _pair_test(u1, u2, u3, v1, v2, v3, nd, op, mask)
     T = jnp.prod(one_m_alpha, axis=-1)                 # [G, B]
     count = okf.sum(-1).astype(jnp.int32)
     return T, count
@@ -472,9 +493,9 @@ def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, *feat_out, kq: int,
     so the runtime double-buffers the gather DMAs across grid steps — no
     manual semaphores) and ONE MXU matmul per tile.
 
-    Per step: the four per-pair test scalars (mu.Qmu, mu.Qd, d.Qd, n.d —
+    Per step: the seven per-pair test scalars (whitened u, v and n.d —
     see `_ray_feature_groups`) for each [B, qs] pairwise tile are one
-    [4B, F] x [F, qs] dot against the resident trace-feature tile
+    [8B, F] x [F, qs] dot against the resident trace-feature tile
     ([F, QUAD*cluster_size] — 128 lanes, the DMA alignment unit). The
     elementwise tail (`_pair_test`) multiplies LANE-WISE carry
     accumulators in VMEM scratch — per tile the only reduction-free ops
@@ -495,7 +516,7 @@ def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, *feat_out, kq: int,
     tl_ref, cnt_ref = feat_out[-2], feat_out[-1]
     i = pl.program_id(0)
     g = pl.program_id(1)
-    B = rays_ref.shape[1] // 4
+    B = rays_ref.shape[1] // _RF_GROUPS
     # Quarter rows for the slab-cut mask; quarters need f32 sublane tiling.
     nq = 4 if B % 32 == 0 else 1
     QB = B // nq
@@ -512,17 +533,21 @@ def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, *feat_out, kq: int,
 
     @pl.when(alive)
     def _():
-        rf = rays_ref[0]                         # [4B, F] ray features
-        # One [4B, F] x [F, _KCH*qs] dot per step: concatenating the
+        rf = rays_ref[0]                         # [8B, F] ray features
+        # One [8B, F] x [F, _KCH*qs] dot per step: concatenating the
         # step's quad tiles first costs one small VMEM copy but quarters
         # the per-dot fixed overhead and runs the elementwise tail on
-        # 4x-wider registers.
+        # 4x-wider registers. HIGHEST precision: the whitened u/v scalars
+        # reach |g - o|/s ~ 1e6 on trained clouds — a one-pass bf16 dot
+        # (relative ~4e-3) would put O(1e3) noise on the residual that
+        # the power needs to O(1).
         w = jnp.concatenate([feat_refs[k][0] for k in range(_KCH)], axis=1)
-        scal = jnp.dot(rf, w, preferred_element_type=jnp.float32)
-        W = _KCH * qs
-        A, Bq = scal[0:B], scal[B:2 * B]         # [B, W]
-        Cq, nd = scal[2 * B:3 * B], scal[3 * B:4 * B]
-        op = w[13:14, :]                         # [1, W]
+        scal = jnp.dot(rf, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        u1, u2, u3 = scal[0:B], scal[B:2 * B], scal[2 * B:3 * B]
+        v1, v2, v3 = scal[3 * B:4 * B], scal[4 * B:5 * B], scal[5 * B:6 * B]
+        nd = scal[6 * B:7 * B]
+        op = w[12:13, :]                         # [1, W]
         mask = None
         if use_qmask:
             # (quarter, quad) slab-cut mask from the prefetched bits.
@@ -532,7 +557,7 @@ def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, *feat_out, kq: int,
                     ((qm_ref[i * kq + g * _KCH + k] >> quarter) & 1
                      ).astype(jnp.float32), (B, qs))
                  for k in range(_KCH)], axis=1)
-        one_m_alpha, okf = _pair_test(A, Bq, Cq, nd, op, mask)
+        one_m_alpha, okf = _pair_test(u1, u2, u3, v1, v2, v3, nd, op, mask)
         tl_ref[...] *= one_m_alpha
         cnt_ref[...] += okf
 
@@ -576,7 +601,7 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
     # grid step costs far more than their HBM traffic.
     rays = _ray_feature_groups(
         rays_o.reshape(nb, B, 3), rays_d.reshape(nb, B, 3)
-    ).reshape(nb, 4 * B, FEAT_DIM)
+    ).reshape(nb, _RF_GROUPS * B, FEAT_DIM)
 
     def feat_index(k):
         # The pipeline prefetches each step's _KCH quad tiles from the
@@ -589,7 +614,8 @@ def _eval_blocks_pallas(bvh: GaussianBVH, rays_o, rays_d, sel, B: int,
         num_scalar_prefetch=2,
         grid=(nb, n_steps),
         in_specs=[
-            pl.BlockSpec((1, 4 * B, FEAT_DIM), lambda i, g, *_: (i, 0, 0),
+            pl.BlockSpec((1, _RF_GROUPS * B, FEAT_DIM),
+                         lambda i, g, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, FEAT_DIM, qs), feat_index(k),
