@@ -224,14 +224,17 @@ def training(args) -> None:
             new_cfg, _ = plan_raster_config(
                 cur_cfg, p, a.active, probe_views,
                 keep_buffer=bool(getattr(args, "buffer_multiple", 0)),
-                fit_depth_cap=not getattr(args, "max_chunks_per_tile", 0))
+                fit_depth_cap=not getattr(args, "max_chunks_per_tile", 0),
+                fit_dmax=not getattr(args, "max_tiles_per_gaussian", 0))
             return new_cfg
 
         cfg = replan_fn(cfg, params, aux)
         import dataclasses as _dc
-        cfg_eval = _dc.replace(cfg_eval, tier_plan=cfg.tier_plan,
-                               buffer_multiple=cfg.buffer_multiple,
-                               max_chunks_per_tile=cfg.max_chunks_per_tile)
+        cfg_eval = _dc.replace(
+            cfg_eval, tier_plan=cfg.tier_plan,
+            buffer_multiple=cfg.buffer_multiple,
+            max_chunks_per_tile=cfg.max_chunks_per_tile,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian)
 
     ema = {}
     from ..utils.logging import MetricsLogger, debug_dump, save_training_vis

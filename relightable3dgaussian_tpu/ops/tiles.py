@@ -60,6 +60,10 @@ class Binning(NamedTuple):
     num_rendered: jnp.ndarray   # [] int32 pairs actually emitted
     overflow_pairs: jnp.ndarray  # [] int32 pairs dropped by budget/dup caps
     overflow_chunks: jnp.ndarray  # [] int32 chunks dropped by per-tile depth cap
+    overflow_budget: jnp.ndarray = jnp.int32(0)  # [] int32 budget-dropped
+    #                             subset of overflow_pairs — planners size
+    #                             the buffer from num_rendered +
+    #                             overflow_budget (the pre-budget demand)
 
     @property
     def buffer_size(self) -> int:
@@ -478,4 +482,5 @@ def bin_gaussians(prep: Preprocessed, cfg: RasterConfig,
         num_rendered=total.astype(jnp.int32),
         overflow_pairs=pair_overflow.astype(jnp.int32),
         overflow_chunks=(n_chunks - n_chunks_capped).sum().astype(jnp.int32),
+        overflow_budget=budget_drop.astype(jnp.int32),
     )

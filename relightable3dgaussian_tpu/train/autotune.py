@@ -46,19 +46,27 @@ def _probe_pairs(params, active, opacity, cam, c):
     b = bin_gaussians(prep, c, opacity)
     # deepest tile's chunk count (pre-cap), for sizing max_chunks_per_tile
     depth = (-(-b.tile_end // c.chunk)) - b.tile_start // c.chunk
-    return b.num_rendered, b.overflow_pairs, jnp.max(depth)
+    # PRE-BUDGET pair demand and budget-independent overflow: probing runs
+    # with the CURRENT (possibly outgrown) buffer, so num_rendered alone
+    # would be clipped BY that buffer and the planner would fit the new
+    # buffer to the clipped count — a feedback loop that kept the 800px
+    # quality run in sustained overflow across dozens of replans.
+    return (b.num_rendered + b.overflow_budget,
+            b.overflow_pairs - b.overflow_budget, jnp.max(depth))
 
 
 def plan_raster_config(cfg: RasterConfig, params, active, views, *,
                        margin: float = 1.2, max_probe_views: int = 3,
                        keep_buffer: bool = False, fit_depth_cap: bool = True,
+                       fit_dmax: bool = True, dmax_limit: int = 256,
                        verbose: bool = True):
     """Measure footprints on a few probe views and return a re-planned cfg.
 
     Returns (new_cfg, info) where info has the measured pair count, the
     probe overflow (0 by construction unless the caps were clamped), and
     the chosen plan. Set keep_buffer=True to only fit the tier plan and
-    leave cfg.buffer_multiple as-is (e.g. when the user pinned it).
+    leave cfg.buffer_multiple as-is (e.g. when the user pinned it);
+    fit_dmax=False to likewise pin cfg.max_tiles_per_gaussian.
     """
     probes = views[:: max(1, len(views) // max_probe_views)][:max_probe_views]
     opacity = G.get_opacity(params)[:, 0]
@@ -70,6 +78,18 @@ def plan_raster_config(cfg: RasterConfig, params, active, views, *,
     touched = np.concatenate(
         [np.asarray(_probe_touched(params, active, opacity, v.cam, cfg))
          for v in probes])
+    # Fit the per-gaussian duplication cap to the measured footprint MAX
+    # (pow2 snap for compile-cache stability, bounded by dmax_limit):
+    # training grows large background gaussians whose 3σ rects exceed the
+    # default 64-tile cap, and `emit = min(tiles_touched, dmax)` then drops
+    # their far tiles EVERY step — a sustained-overflow mode no
+    # buffer_multiple bump can fix (the CUDA reference never drops pairs,
+    # it resizes per call, rasterizer_impl.cu:199-230).
+    tmax = int(touched.max()) if touched.size else 1
+    if fit_dmax and tmax > cfg.max_tiles_per_gaussian:
+        dmax = min(dmax_limit, 1 << (tmax - 1).bit_length())
+        if dmax > cfg.max_tiles_per_gaussian:
+            cfg = dataclasses.replace(cfg, max_tiles_per_gaussian=dmax)
     plan = auto_tier_plan(touched, cfg.max_tiles_per_gaussian)
     new_cfg = dataclasses.replace(cfg, tier_plan=plan)
 
@@ -97,11 +117,14 @@ def plan_raster_config(cfg: RasterConfig, params, active, views, *,
         new_cfg = dataclasses.replace(new_cfg, max_chunks_per_tile=cap)
     info = {"pairs": pairs, "overflow": overflow, "plan": plan,
             "buffer_multiple": new_cfg.buffer_multiple,
-            "max_chunks_per_tile": new_cfg.max_chunks_per_tile}
+            "max_chunks_per_tile": new_cfg.max_chunks_per_tile,
+            "max_tiles_per_gaussian": new_cfg.max_tiles_per_gaussian}
     if verbose:
         print(f"[plan] tier_plan={plan} pairs={pairs} "
               f"probe_overflow={overflow} "
               f"buffer_multiple={new_cfg.buffer_multiple} "
               f"max_chunks_per_tile={new_cfg.max_chunks_per_tile} "
-              f"({len(probes)} probe views)", flush=True)
+              f"max_tiles_per_gaussian={new_cfg.max_tiles_per_gaussian} "
+              f"(probe footprint max {tmax}; {len(probes)} probe views)",
+              flush=True)
     return new_cfg, info

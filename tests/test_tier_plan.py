@@ -199,3 +199,41 @@ def test_dp_plan_never_worse_than_fixed_menu():
         dp = auto_tier_plan(t, dmax)
         fixed = auto_tier_plan(t, dmax, divs=legacy_menu)
         assert slots(dp, t, dmax) <= slots(fixed, t, dmax), (dp, fixed)
+
+
+def test_plan_fits_dmax_to_measured_footprints():
+    """plan_raster_config raises max_tiles_per_gaussian when the measured
+    footprints exceed it (the sustained-overflow mode of large background
+    gaussians that no buffer_multiple bump can fix; the CUDA reference
+    resizes per call and never drops pairs, rasterizer_impl.cu:199-230),
+    and the resulting binning has zero probe overflow."""
+    from relightable3dgaussian_tpu.models import gaussians as G
+    from relightable3dgaussian_tpu.train.autotune import plan_raster_config
+
+    n = 64
+    key = jax.random.PRNGKey(5)
+    pts = jax.random.uniform(key, (n, 3), minval=-0.5, maxval=0.5)
+    params, aux = G.create_from_pcd(
+        pts, jnp.full((n, 3), 0.5),
+        jnp.tile(jnp.array([0.0, 0.0, 1.0]), (n, 1)), capacity=n)
+    # one huge gaussian: 3-sigma rect covers far more than 16 tiles
+    params = dataclasses.replace(
+        params, scaling=params.scaling.at[0].set(jnp.log(1.5)),
+        opacity=params.opacity.at[:].set(2.0))
+    cam = make_camera_params(np.eye(3), np.array([0.0, 0.0, 4.0]),
+                             128, 128, fovx=0.9, fovy=0.9)
+
+    class _View:
+        def __init__(self, cam):
+            self.cam = cam
+
+    cfg = RasterConfig(height=128, width=128, feature_dim=5, sh_degree=0,
+                       max_tiles_per_gaussian=16)
+    new_cfg, info = plan_raster_config(cfg, params, aux.active,
+                                       [_View(cam)], verbose=False)
+    assert new_cfg.max_tiles_per_gaussian > 16
+    assert info["overflow"] == 0, info
+    # pinned by the caller -> untouched
+    pin_cfg, _ = plan_raster_config(cfg, params, aux.active, [_View(cam)],
+                                    fit_dmax=False, verbose=False)
+    assert pin_cfg.max_tiles_per_gaussian == 16
