@@ -403,3 +403,57 @@ def test_update_visibility_auto_caps_zero_uncertain():
         opacity=inv_sig(op)[:, None], normal=nrm)
     vis = update_visibility(params, aux.active, 8)
     assert int(np.asarray(vis.uncertain_rays)) == 0
+
+
+class TestConditioning:
+    """Contract tests around the round-5 over-occlusion bug: trained
+    clouds hold near-degenerate gaussians (scales ~1e-6 -> inv-variances
+    ~1e11) far from the world origin. The old quadratic-form expansion
+    (g.Qg - 2o.Qg + o.Qo...) carried ~(|g|/s)^2-magnitude intermediate
+    terms; on TPU the MXU dot evaluated them at default (one-pass bf16)
+    precision, the ~4e-3 relative noise flipped the residual's sign, and
+    the power<=0 clamp returned alpha = full opacity -- killing ~85% of
+    oracle-open rays on a real trained checkpoint (traced surface vis
+    0.001 vs analytic 0.88; CPU f32 largely escaped via correlated-error
+    cancellation, which is why the brute-force parity suite stayed
+    green). The whitened formulation (u = W(g-o), power = -0.5|u - t v|^2
+    at HIGHEST dot precision) cancels linearly and is non-positive by
+    construction; these tests pin its semantics at the degenerate
+    scales."""
+
+    def _bvh_with_needle(self, pos, scale):
+        xyz = jnp.array([pos])
+        scaling = jnp.full((1, 3), scale)
+        rot = jnp.array([[1.0, 0, 0, 0]])
+        opacity = jnp.array([0.95])
+        normal = jnp.array([[0.0, 0.0, -1.0]])   # front-facing to +z rays
+        return build_bvh(xyz, scaling, rot, opacity, normal)
+
+    def test_missed_needle_far_from_origin_stays_visible(self):
+        # Ray passes 0.1 world units beside a sigma=2e-6 needle at |g|~3.8:
+        # 50000 sigma away -- visibility must be exactly 1.0. The old
+        # expansion's f32 noise here was ~(3.8/2e-6)^2 * 1e-7 ~ 4e5 on a
+        # residual of ~2.5e9... and at slightly larger scales the noise
+        # EXCEEDED the residual and zeroed the ray.
+        bvh = self._bvh_with_needle([2.0, 2.0, 2.5], 2e-6)
+        out = trace_visibility(bvh, jnp.array([[2.1, 2.0, 0.0]]),
+                               jnp.array([[0.0, 0.0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) == 1.0
+
+    def test_grazing_miss_near_tiny_gaussian(self):
+        # 6 sigma lateral miss of a sigma=1e-4 gaussian far from origin:
+        # true alpha = 0.95*exp(-18) ~ 1.4e-8 -> visibility ~ 1.0.
+        s = 1e-4
+        bvh = self._bvh_with_needle([2.0, 2.0, 2.5], s)
+        out = trace_visibility(bvh, jnp.array([[2.0 + 6 * s, 2.0, 0.0]]),
+                               jnp.array([[0.0, 0.0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) > 0.999
+
+    def test_center_hit_tiny_gaussian_occludes(self):
+        # Dead-center hit of the same tiny gaussian: alpha = opacity,
+        # T = 0.05 < 0.9 -> visibility 0 (and the hit is counted).
+        bvh = self._bvh_with_needle([2.0, 2.0, 2.5], 1e-4)
+        out = trace_visibility(bvh, jnp.array([[2.0, 2.0, 0.0]]),
+                               jnp.array([[0.0, 0.0, 1.0]]), ray_chunk=8)
+        assert float(out["visibility"][0, 0]) == 0.0
+        assert int(out["contribute"][0, 0]) == 1
