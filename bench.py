@@ -155,7 +155,7 @@ def main():
     try:
         import dataclasses
         from relightable3dgaussian_tpu.models.render_neilf import (
-            TRAIN_FEATURE_DIM, VisibilityCache)
+            VisibilityCache, train_feature_dim)
         from relightable3dgaussian_tpu.models.lights import init_direct_light
         from relightable3dgaussian_tpu.train import stage2
         from relightable3dgaussian_tpu.train.optim import init_array_adam
@@ -172,9 +172,9 @@ def main():
                               incident_dirs=dirs, incident_areas=areas)
         env = init_direct_light(16, 3.0)
         env_state = init_array_adam(env.env)
-        cfg2 = dataclasses.replace(cfg_train,
-                                   feature_dim=TRAIN_FEATURE_DIM)
         opt2 = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
+        cfg2 = dataclasses.replace(cfg_train,
+                                   feature_dim=train_feature_dim(opt2))
         o2 = init_adam(params2)
         t0 = time.time()
         out2 = stage2.train_step(params2, aux, o2, env, env_state, vis,

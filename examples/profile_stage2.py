@@ -50,7 +50,7 @@ def main():
                                                          init_direct_light)
     from relightable3dgaussian_tpu.models.render import ViewInputs
     from relightable3dgaussian_tpu.models.render_neilf import (
-        TRAIN_FEATURE_DIM, VisibilityCache)
+        VisibilityCache, train_feature_dim)
     from relightable3dgaussian_tpu.ops import (RasterConfig,
                                                make_camera_params)
     from relightable3dgaussian_tpu.ops.shading import rendering_equation
@@ -63,8 +63,9 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     size, n, s_num = 800, 100_000, 64
+    opt = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
     cfg = RasterConfig(height=size, width=size,
-                       feature_dim=TRAIN_FEATURE_DIM, sh_degree=3,
+                       feature_dim=train_feature_dim(opt), sh_degree=3,
                        buffer_multiple=12)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
@@ -88,7 +89,6 @@ def main():
                           incident_dirs=dirs, incident_areas=areas)
     env = init_direct_light(16, 3.0)
     env_state = init_array_adam(env.env)
-    opt = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
     o2 = init_adam(params)
 
     # full step

@@ -22,7 +22,7 @@ import numpy as np
 from ..models import gaussians as G
 from ..models.lights import init_direct_light
 from ..models.render import ViewInputs, render
-from ..models.render_neilf import (TRAIN_FEATURE_DIM, render_neilf,
+from ..models.render_neilf import (train_feature_dim, render_neilf,
                                    update_visibility)
 from ..ops.config import RasterConfig
 from ..scene import Scene
@@ -201,7 +201,10 @@ def training(args) -> None:
                                                env_state=env_state)
             env, env_state = restored["env"], restored["env_state"]
             print(f"Loaded env light from {env_ckpt}")
-        cfg = raster_config(train_cams, TRAIN_FEATURE_DIM,
+        # Train-time splat carries only the channels this opt's losses
+        # read (train_feature_channels) — at the reference stage-2
+        # protocol that is depth+pbr, ~17% off the whole step.
+        cfg = raster_config(train_cams, train_feature_dim(opt),
                             model_cfg.white_background, args=args)
         from ..models.render_neilf import EVAL_FEATURE_DIM
         import dataclasses as _dc

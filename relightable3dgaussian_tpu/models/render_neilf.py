@@ -30,8 +30,45 @@ from .render import ViewInputs
 # train: depth 1, depth^2 1, pbr 3, normal 3, base_color 3, roughness 1,
 #        diffuse 3, visibility 1                                  -> 16
 # eval adds: specular 3, lights 3, local 3, global 3              -> 28
-TRAIN_FEATURE_DIM = 16
+TRAIN_FEATURE_DIM = 16   # full train-time set (every aux loss active)
 EVAL_FEATURE_DIM = 28
+
+
+def train_feature_channels(opt=None) -> tuple[tuple[str, int], ...]:
+    """Splatted feature channels the TRAIN-time losses actually read.
+
+    The reference's stage-2 protocols zero most aux lambdas (e.g.
+    script/run_nerf.sh:33-38 sets base_color/roughness/light smoothness to
+    0, leaving only the per-POINT lambda_light and the env-map TV), so the
+    hot train step only needs to composite `depth + pbr` — carrying the
+    full 16-channel set through the forward AND backward walks costs ~17%
+    of the whole stage-2 step for maps nothing reads. With every aux loss
+    active this returns the full fixed set (== TRAIN_FEATURE_DIM wide);
+    eval always uses the full EVAL set. Pass the same `opt` here (for
+    cfg.feature_dim) and to render_neilf."""
+    if opt is None:
+        return (("depth", 1), ("depth2", 1), ("pbr", 3), ("normal", 3),
+                ("base_color", 3), ("roughness", 1), ("diffuse", 3),
+                ("vis", 1))
+    ch = [("depth", 1)]
+    if opt.lambda_depth_var > 0:
+        ch.append(("depth2", 1))
+    ch.append(("pbr", 3))
+    if (opt.lambda_normal_render_depth > 0 or opt.lambda_normal_smooth > 0
+            or opt.lambda_normal_mvs_depth > 0
+            or opt.lambda_light_smooth > 0):
+        ch.append(("normal", 3))  # light_smooth compares diffuse vs normal
+    if opt.lambda_base_color_smooth > 0:
+        ch.append(("base_color", 3))
+    if opt.lambda_roughness_smooth > 0:
+        ch.append(("roughness", 1))
+    if opt.lambda_light_smooth > 0:
+        ch.append(("diffuse", 3))
+    return tuple(ch)
+
+
+def train_feature_dim(opt=None) -> int:
+    return sum(w for _, w in train_feature_channels(opt))
 
 
 class VisibilityCache(NamedTuple):
@@ -194,7 +231,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 mean2d_offset: jnp.ndarray | None = None,
                 base_color_scale: jnp.ndarray | None = None,
                 sharded_shading=None,
-                w_seed: jnp.ndarray | None = None) -> dict[str, Any]:
+                w_seed: jnp.ndarray | None = None,
+                opt: OptimizationConfig | None = None) -> dict[str, Any]:
     cam = view.cam
     base_color = G.get_base_color(params)
     if base_color_scale is not None:
@@ -207,6 +245,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
     viewdirs = viewdirs / jnp.maximum(
         jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-12)
 
+    # (Measured: jax.checkpoint around the shading chain costs MORE than
+    # the saved-residual traffic here — XLA's own scheduling wins.)
     pbr, extras = _shade_points(
         base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
         G.get_incidents(params), env, vis, sharded_shading)
@@ -214,8 +254,21 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
     xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
     depths = (xyz1 @ cam.world_view)[:, 2:3]
 
-    feats = [depths, depths ** 2, pbr, normal, base_color, roughness,
-             extras["diffuse_light"], extras["incident_visibility"].mean(-2)]
+    # Train-time feature set is OPT-CONDITIONAL (see
+    # `train_feature_channels`): channels no active loss reads stay out of
+    # the composite walks. Eval always carries the full set + extras.
+    chan_src = {
+        "depth": lambda: depths,
+        "depth2": lambda: depths ** 2,
+        "pbr": lambda: pbr,
+        "normal": lambda: normal,
+        "base_color": lambda: base_color,
+        "roughness": lambda: roughness,
+        "diffuse": lambda: extras["diffuse_light"],
+        "vis": lambda: extras["incident_visibility"].mean(-2),
+    }
+    chans = train_feature_channels(opt if is_training else None)
+    feats = [chan_src[name]() for name, _ in chans]
     if not is_training:
         feats += [extras["specular"],
                   extras["incident_lights"].mean(-2),
@@ -241,20 +294,11 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         idx += n
         return sl
 
-    r_depth = take(1)
-    r_depth2 = take(1)
-    r_pbr = take(3)
-    r_normal = take(3)
-    r_base = take(3)
-    r_rough = take(1)
-    r_diffuse = take(3)
-    r_vis = take(1)
+    r = {name: take(w) for name, w in chans}
 
     results = {
         "render": out.color,
-        "depth": r_depth,
-        "depth_var": r_depth2 - r_depth ** 2,
-        "normal": r_normal,
+        "depth": r["depth"],
         "pseudo_normal": out.pseudo_normal,
         "surface_xyz": out.surface_xyz,
         "opacity": out.opacity,
@@ -264,15 +308,24 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         "num_rendered": out.num_rendered,
         "num_contrib": out.n_contrib,
         "weights": out.weights,
-        "base_color": rgb_to_srgb(r_base),
-        "roughness": r_rough,
-        "diffuse": rgb_to_srgb(r_diffuse),
-        "visibility": r_vis,
         "diffuse_light": extras["diffuse_light"],
         "env": light_image(env),
         "overflow_pairs": out.overflow_pairs,
         "overflow_chunks": out.overflow_chunks,
     }
+    r_pbr = r["pbr"]
+    if "depth2" in r:
+        results["depth_var"] = r["depth2"] - r["depth"] ** 2
+    if "normal" in r:
+        results["normal"] = r["normal"]
+    if "base_color" in r:
+        results["base_color"] = rgb_to_srgb(r["base_color"])
+    if "roughness" in r:
+        results["roughness"] = r["roughness"]
+    if "diffuse" in r:
+        results["diffuse"] = rgb_to_srgb(r["diffuse"])
+    if "vis" in r:
+        results["visibility"] = r["vis"]
     pbr_img = r_pbr * out.opacity + (1 - out.opacity) * bg_color[:, None, None]
     results["pbr"] = rgb_to_srgb(pbr_img)
 
@@ -404,7 +457,7 @@ def render_neilf(view: ViewInputs, params: G.GaussianParams,
     """Stage-2 entry point (reference `render_neilf`, neilf.py:321-336)."""
     results = render_view(params, active, view, cfg, bg_color, env, vis,
                           is_training, mean2d_offset, base_color_scale,
-                          sharded_shading, w_seed=w_seed)
+                          sharded_shading, w_seed=w_seed, opt=opt)
     if is_training:
         assert opt is not None
         loss, tb = calculate_loss(view, params, active, results, opt, env)

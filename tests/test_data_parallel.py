@@ -255,15 +255,15 @@ class TestStage2DP:
         import dataclasses
         from relightable3dgaussian_tpu.models.lights import init_direct_light
         from relightable3dgaussian_tpu.models.render_neilf import (
-            TRAIN_FEATURE_DIM, VisibilityCache)
+            VisibilityCache, train_feature_dim)
         from relightable3dgaussian_tpu.train.optim import init_array_adam
         from relightable3dgaussian_tpu.utils.graphics import \
             fibonacci_sphere_sampling
 
         n_dev = 8
         params, aux, opt_state = toy_state(use_pbr=True)
-        cfg2 = dataclasses.replace(CFG, feature_dim=TRAIN_FEATURE_DIM)
         opt2 = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
+        cfg2 = dataclasses.replace(CFG, feature_dim=train_feature_dim(opt2))
         S = 8
         dirs, areas = fibonacci_sphere_sampling(
             jnp.tile(jnp.array([0.0, 0, 1.0]), (params.capacity, 1)), S)

@@ -258,7 +258,11 @@ def test_pallas_eval_kernel_matches_jnp():
                                      use_pallas=True, interpret=True)
     vis_j = np.where(np.asarray(T_j) >= 0.9, np.asarray(T_j), 0.0)
     vis_p = np.where(np.asarray(T_p) >= 0.9, np.asarray(T_p), 0.0)
-    np.testing.assert_allclose(vis_p, vis_j, atol=1e-5)
+    # The Pallas kernel's dot runs bf16x3 (hi/lo split, relative ~2^-18)
+    # against the jnp path's HIGHEST-precision einsum — elementwise vis
+    # parity vs an f64 trace on a real trained cloud is 5.6e-4 max
+    # (probe_vis4), so the tolerance reflects the scheme, not slop.
+    np.testing.assert_allclose(vis_p, vis_j, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(ov_p), np.asarray(ov_j))
     live = vis_j > 0
     np.testing.assert_array_equal(np.asarray(cnt_p)[live],

@@ -1,4 +1,6 @@
 """Stage-2 (NeILF/PBR) end-to-end smoke tests."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +9,7 @@ from relightable3dgaussian_tpu.models import gaussians as G
 from relightable3dgaussian_tpu.models.render import ViewInputs
 from relightable3dgaussian_tpu.models.render_neilf import (EVAL_FEATURE_DIM,
                                                            TRAIN_FEATURE_DIM,
+                                                           train_feature_dim,
                                                            render_neilf)
 from relightable3dgaussian_tpu.ops import RasterConfig, make_camera_params
 from relightable3dgaussian_tpu.train.config import OptimizationConfig
@@ -15,8 +18,18 @@ from relightable3dgaussian_tpu.train.stage2 import (finetune_visibility,
                                                     setup_stage2, train_step)
 
 SIZE = 32
+# Full aux-loss opt: every train feature channel active (dim == 16).
+OPT_FULL = OptimizationConfig(
+    lambda_depth_var=1e-2, lambda_normal_render_depth=0.01,
+    lambda_normal_smooth=0.01, lambda_base_color_smooth=0.01,
+    lambda_roughness_smooth=0.01, lambda_light_smooth=0.01,
+    lambda_light=0.01, lambda_env_smooth=0.01)
+# The full-opt set is 15: the rendered-visibility channel is loss-dead in
+# the reference too (lambda_visibility* exist but are read by no loss) and
+# only ships on the EVAL path.
+assert train_feature_dim(OPT_FULL) == TRAIN_FEATURE_DIM - 1
 CFG_TRAIN = RasterConfig(height=SIZE, width=SIZE,
-                         feature_dim=TRAIN_FEATURE_DIM, sh_degree=0,
+                         feature_dim=train_feature_dim(OPT_FULL), sh_degree=0,
                          buffer_multiple=16, max_tiles_per_gaussian=4,
                          chunk=32, max_chunks_per_tile=8)
 CFG_EVAL = RasterConfig(height=SIZE, width=SIZE,
@@ -48,9 +61,10 @@ class TestStage2:
     def test_render_neilf_shapes_train(self):
         params, aux, env, vis, view = toy_setup()
         res = render_neilf(view, params, aux.active, CFG_TRAIN, jnp.zeros(3),
-                           env, vis, OptimizationConfig(), is_training=True)
+                           env, vis, OPT_FULL, is_training=True)
+        assert "visibility" not in res  # eval-only channel
         for k in ["render", "pbr", "base_color", "roughness", "diffuse",
-                  "visibility", "normal", "depth"]:
+                  "normal", "depth"]:
             assert np.isfinite(np.asarray(res[k])).all(), k
         assert res["pbr"].shape == (3, SIZE, SIZE)
         assert res["roughness"].shape == (1, SIZE, SIZE)
@@ -79,11 +93,14 @@ class TestStage2:
         opt_state = init_adam(params)
         env_state = init_array_adam(env.env)
         opt = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
+        # Reference stage-2 protocol: only depth+pbr ride the train splat.
+        cfg = dataclasses.replace(CFG_TRAIN, feature_dim=train_feature_dim(opt))
+        assert cfg.feature_dim == 4
         psnrs = []
         for it in range(1, 31):
             params, aux, opt_state, env, env_state, metrics = train_step(
                 params, aux, opt_state, env, env_state, vis, view,
-                jnp.asarray(it), cfg=CFG_TRAIN, opt=opt, spatial_lr_scale=1.0)
+                jnp.asarray(it), cfg=cfg, opt=opt, spatial_lr_scale=1.0)
             psnrs.append(float(metrics["psnr_pbr"]))
             assert np.isfinite(psnrs[-1])
         assert np.mean(psnrs[-5:]) > np.mean(psnrs[:5]) + 0.5, psnrs
