@@ -218,7 +218,10 @@ def main():
         cfg_e = dataclasses.replace(cfg, feature_dim=EVAL_FEATURE_DIM,
                                     compute_weights=True)
 
-        @jax.jit
+        # CONCRETE call, like the eval CLI: S=384 shading at P=100k holds
+        # [P, S, 3] intermediates that must host-chunk (a single jitted
+        # program would be multi-GB and exceeds the remote-compile
+        # request limit); the splat underneath stays jitted.
         def eval_frame(p, active, view):
             return render_neilf(view, p, active, cfg_e, bg, env_e, vis_e,
                                 is_training=False)["pbr"]
@@ -229,10 +232,10 @@ def main():
         log(f"eval-relight frame compile+first (P={n}, S={s_eval}, 800px): "
             f"{time.time() - t0:.1f}s")
         t0 = time.time()
-        for _ in range(5):
+        for _ in range(3):
             img_e = eval_frame(params_e, aux.active, view)
         sync(img_e)
-        dt_e = (time.time() - t0) / 5
+        dt_e = (time.time() - t0) / 3
         log(f"eval-relight frame steady: {dt_e * 1e3:.0f} ms/view "
             f"(+ one-time S=384 trace, row below)")
     except Exception as e:

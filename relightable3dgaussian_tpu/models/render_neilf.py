@@ -167,6 +167,22 @@ def update_visibility(params: G.GaussianParams, active: jnp.ndarray,
 _SHADE_CHUNK_SAMPLES = 4_000_000
 
 
+@jax.jit
+def _shade_chunk_reduced(env, base_color, roughness, normal, viewdirs,
+                         incidents, visibility, incident_dirs,
+                         incident_areas):
+    """One host-chunk of eval shading, keeping only the reductions the
+    caller uses (per-sample extras at eval scale are exactly what blew the
+    memory budget). Jitted with env as an argument so every chunk shape
+    compiles once per process."""
+    pbr, ex = rendering_equation(base_color, roughness, normal, viewdirs,
+                                 incidents, lambda d: query_light(env, d),
+                                 visibility, incident_dirs, incident_areas)
+    red = {k: (v if v.ndim == 2 else v.mean(-2))
+           for k, v in ex.items() if k != "incident_dirs"}
+    return pbr, red
+
+
 def _shade_points(base_color, roughness, normal, viewdirs, incidents,
                   env, vis: VisibilityCache, sharded_shading=None):
     """rendering_equation — P-sharded over the mesh when `sharded_shading`
@@ -204,15 +220,17 @@ def _shade_points(base_color, roughness, normal, viewdirs, incidents,
     parts = []
     for i in range(0, P, chunk):
         sl = slice(i, min(i + chunk, P))
-        pbr_c, ex_c = rendering_equation(
-            base_color[sl], roughness[sl], normal[sl], viewdirs[sl],
-            incidents[sl], light_fn, vis.visibility[sl],
+        pbr_c, ex_c = _shade_chunk_reduced(
+            env, base_color[sl], roughness[sl], normal[sl], viewdirs[sl],
+            incidents[sl], vis.visibility[sl],
             vis.incident_dirs[sl], vis.incident_areas[sl])
-        # Keep only the reductions the caller uses; per-sample extras at
-        # eval scale are exactly what blew the memory budget.
-        parts.append((jax.device_get(pbr_c), {
-            k: jax.device_get(v if v.ndim == 2 else v.mean(-2))
-            for k, v in ex_c.items() if k != "incident_dirs"}))
+        # Per-chunk sync bounds the async dispatch queue to ONE chunk's
+        # [chunk, S, 3] transients (the multi-GB peak that forced
+        # chunking); outputs are [chunk, 3]-sized and STAY ON DEVICE —
+        # the old jax.device_get here dragged every chunk through the
+        # ~1.5 MB/s axon host link and dominated eval wall-clock.
+        jax.block_until_ready(pbr_c)
+        parts.append((pbr_c, ex_c))
     pbr = jnp.concatenate([p for p, _ in parts], axis=0)
     keys = parts[0][1].keys()
     extras = {k: jnp.concatenate([ex[k] for _, ex in parts], axis=0)

@@ -859,7 +859,8 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                      ray_chunk: int = 128, max_supers: int = 32,
                      host_batch: int = 1 << 20, sort_rays: bool = True,
                      dir_res: int = 16, rays_per_chunk: int = 8192,
-                     quarter_mask: bool = False):
+                     quarter_mask: bool = False,
+                     use_pallas: bool | None = None):
     """Visibility for flat ray arrays [R, 3] (origin offset like the
     reference, bvh/__init__.py:62-71: o += 0.05 d). Returns dict with
     "visibility" [R, 1], "contribute" [R, 1], "overflow" [R].
@@ -877,7 +878,7 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
                                  rays_d[i:i + host_batch], max_clusters,
                                  ray_chunk, max_supers, host_batch,
                                  sort_rays, dir_res, rays_per_chunk,
-                                 quarter_mask)
+                                 quarter_mask, use_pallas)
                 for i in range(0, R, host_batch)]
         return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
@@ -894,14 +895,16 @@ def trace_visibility(bvh: GaussianBVH, rays_o: jnp.ndarray,
         perm = _coherent_order(bvh, rays_o, rays_d, dir_res)
         T, count, overflow = _trace_sorted(
             bvh, rays_o[perm], rays_d[perm], max_clusters, B,
-            max_supers, rays_per_chunk, quarter_mask=quarter_mask)
+            max_supers, rays_per_chunk, use_pallas=use_pallas,
+            quarter_mask=quarter_mask)
         inv = jnp.zeros((Rp,), jnp.int32).at[perm].set(
             jnp.arange(Rp, dtype=jnp.int32))
         T, count, overflow = T[inv], count[inv], overflow[inv]
     else:
         T, count, overflow = _trace_sorted(
             bvh, rays_o, rays_d, max_clusters, B, max_supers,
-            rays_per_chunk, quarter_mask=quarter_mask)
+            rays_per_chunk, use_pallas=use_pallas,
+            quarter_mask=quarter_mask)
 
     T, count, overflow = T[:R], count[:R], overflow[:R]
     vis = jnp.where(T >= 0.9, T, 0.0)

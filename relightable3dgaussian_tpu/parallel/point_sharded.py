@@ -104,6 +104,12 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 96,
     """
     import functools
 
+    # Backend choice must follow the MESH devices, not the process default:
+    # jax.default_backend() stays "tpu" even while lowering for a CPU mesh
+    # (e.g. the virtual 8-device test mesh), and the Pallas kernel only
+    # runs on TPU.
+    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
+
     def inner(static, xyz, cov_inv, opacity, normal, c_lo, c_hi,
               s_lo, s_hi, feat, rays_o, rays_d):
         cluster_size, super_size, kc, ks = static
@@ -113,7 +119,8 @@ def make_sharded_trace(mesh: Mesh, max_clusters: int = 96,
                           super_lo=s_lo, super_hi=s_hi, feat=feat,
                           cluster_size=cluster_size, super_size=super_size)
         out = trace_visibility(bvh, rays_o, rays_d, max_clusters=kc,
-                               ray_chunk=ray_chunk, max_supers=ks)
+                               ray_chunk=ray_chunk, max_supers=ks,
+                               use_pallas=mesh_is_tpu)
         return out["visibility"], out["overflow"]
 
     def make(static):
