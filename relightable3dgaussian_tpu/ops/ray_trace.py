@@ -56,8 +56,9 @@ from .knn import morton_codes
 # Σ⁻¹ entries reach 1e10, the expansion terms cancel catastrophically in
 # f32, and the noise flipped power's sign so the clamp made alpha jump to
 # full opacity — rays died everywhere (traced surface vis 0.04 where the
-# analytic oracle says 0.88). The whitened form cancels LINEARLY (inside
-# the dot, at full f32) and its power is non-positive by construction.
+# analytic oracle says 0.88). The whitened form cancels LINEARLY inside
+# the dot (bf16x3 hi/lo split in the Pallas kernel, HIGHEST-precision
+# einsum on the jnp path) and its power is non-positive by construction.
 # Rows:
 #   0:3    W g
 #   3:6    W row 0
