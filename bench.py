@@ -55,10 +55,10 @@ def main():
     n = 100_000
     # Render config: full pair budget for this (dense, worst-case) scene,
     # no weight accumulation. Train config keeps the training defaults.
-    cfg = RasterConfig(height=size, width=size, feature_dim=5, sh_degree=3,
+    cfg = RasterConfig(height=size, width=size, feature_dim=4, sh_degree=3,
                        buffer_multiple=20, compute_weights=False,
                        compute_pseudo_normal=False)
-    cfg_train = RasterConfig(height=size, width=size, feature_dim=5,
+    cfg_train = RasterConfig(height=size, width=size, feature_dim=4,
                              sh_degree=3, buffer_multiple=12)
 
     key = jax.random.PRNGKey(0)

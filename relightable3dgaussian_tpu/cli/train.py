@@ -210,7 +210,7 @@ def training(args) -> None:
         import dataclasses as _dc
         cfg_eval = _dc.replace(cfg, feature_dim=EVAL_FEATURE_DIM)
     else:
-        cfg = raster_config(train_cams, 5, model_cfg.white_background,
+        cfg = raster_config(train_cams, 4, model_cfg.white_background,
                             args=args)
         cfg_eval = cfg
 

@@ -63,7 +63,15 @@ def _gaussian_blur(img: jnp.ndarray, g1d: np.ndarray) -> jnp.ndarray:
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an image pair ([C, H, W]), gaussian window sigma=1.5.
+    """Mean SSIM over an image pair ([C, H, W]), gaussian window sigma=1.5."""
+    return ssim_map(img1, img2, window_size).mean()
+
+
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
+             window_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM map [C, H, W]. Channels are independent, so several
+    image pairs can be stacked along C in ONE call (the stage-2 loss runs
+    its dual SH+PBR photometric terms this way) and reduced per slice.
 
     The five windowed moments are blurred as ONE stacked [5C, H, W] pass so
     the shifted-add taps stream the data once."""
@@ -83,9 +91,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     sigma2 = jnp.maximum(y[3 * c:4 * c] - mu2_sq, 0.0)
     sigma12 = y[4 * c:5 * c] - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
-    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1 + sigma2 + c2))
-    return ssim_map.mean()
 
 
 # ---------------------------------------------------------------------------

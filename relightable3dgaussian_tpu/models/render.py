@@ -1,7 +1,8 @@
 """Stage-1 ("render" / enhanced 3DGS) render function + loss.
 
 Functional equivalent of /root/reference/gaussian_renderer/render.py: splat
-color + [normal, depth, depth^2] features, derive alpha-normalized maps and
+color + [normal, depth^2] features (depth itself rides the rasterizer's own
+depth channel), derive alpha-normalized maps and
 depth variance, compute the photometric + regularization loss set. Returns a
 results dict with the reference's key names so drivers/GUI translate 1:1.
 """
@@ -42,7 +43,12 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
     normal = G.get_normal(params)
     xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
     depths = (xyz1 @ cam.world_view)[:, 2:3]
-    features = jnp.concatenate([normal, depths, depths ** 2], axis=-1)
+    # No first-order depth feature: the rasterizer already composites
+    # prep.depth (the identical view-space z) as its own channel, so the
+    # alpha-normalized depth map is recovered from out.depth below — one
+    # fewer channel through both composite walks than the reference's
+    # [normal, depth, depth^2] feature set (render.py:56-60 upstream).
+    features = jnp.concatenate([normal, depths ** 2], axis=-1)
 
     out = rasterize(
         params.xyz, G.get_scaling(params), G.get_rotation(params),
@@ -53,7 +59,8 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
 
     mask = (out.n_contrib > 0)[None].astype(out.feature.dtype)
     feat = out.feature / jnp.maximum(out.opacity, 1e-5) * mask
-    r_normal, r_depth, r_depth2 = feat[:3], feat[3:4], feat[4:5]
+    r_normal, r_depth2 = feat[:3], feat[3:4]
+    r_depth = out.depth / jnp.maximum(out.opacity, 1e-5) * mask
     depth_var = r_depth2 - r_depth ** 2
 
     dir_pp = params.xyz - cam.campos[None, :]

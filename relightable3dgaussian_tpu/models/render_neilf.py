@@ -26,12 +26,14 @@ from . import gaussians as G
 from .lights import DirectLightParams, light_image, query_light
 from .render import ViewInputs
 
-# Feature channel layouts (after the 3 color channels handled by rasterize):
-# train: depth 1, depth^2 1, pbr 3, normal 3, base_color 3, roughness 1,
-#        diffuse 3, visibility 1                                  -> 16
-# eval adds: specular 3, lights 3, local 3, global 3              -> 28
-TRAIN_FEATURE_DIM = 16   # full train-time set (every aux loss active)
-EVAL_FEATURE_DIM = 28
+# Feature channel layouts (after the 3 color channels handled by rasterize;
+# first-order depth rides the rasterizer's own depth channel, see
+# models/render.py):
+# train: depth^2 1, pbr 3, normal 3, base_color 3, roughness 1,
+#        diffuse 3, visibility 1                                  -> 15
+# eval adds: specular 3, lights 3, local 3, global 3              -> 27
+TRAIN_FEATURE_DIM = 15   # full train-time set (every aux loss active)
+EVAL_FEATURE_DIM = 27
 
 
 def train_feature_channels(opt=None) -> tuple[tuple[str, int], ...]:
@@ -47,10 +49,10 @@ def train_feature_channels(opt=None) -> tuple[tuple[str, int], ...]:
     eval always uses the full EVAL set. Pass the same `opt` here (for
     cfg.feature_dim) and to render_neilf."""
     if opt is None:
-        return (("depth", 1), ("depth2", 1), ("pbr", 3), ("normal", 3),
+        return (("depth2", 1), ("pbr", 3), ("normal", 3),
                 ("base_color", 3), ("roughness", 1), ("diffuse", 3),
                 ("vis", 1))
-    ch = [("depth", 1)]
+    ch = []
     if opt.lambda_depth_var > 0:
         ch.append(("depth2", 1))
     ch.append(("pbr", 3))
@@ -242,6 +244,24 @@ def _shade_points(base_color, roughness, normal, viewdirs, incidents,
     return pbr, extras
 
 
+def _use_fused_shading(is_training, sharded_shading, env, incidents,
+                       vis: VisibilityCache) -> bool:
+    """Gate for the fused Pallas train-shading kernel — OPT-IN via
+    R3DG_FUSED_SHADING=1. Measured on v5e (see ops/shading_pallas.py): XLA
+    already fuses the jnp chain to ~9-11 ms fwd+bwd at P=100k/S=64 and the
+    kernel is at best parity in isolation, while INSIDE the full train step
+    it costs +27 ms (112.6 -> 139.5 ms — the custom_vjp boundary blocks
+    scheduling overlap with the splat pipeline). Kept for future
+    hardware/compiler revisions; parity-locked by tests."""
+    import os
+    if os.environ.get("R3DG_FUSED_SHADING", "") != "1":
+        return False
+    return (is_training and sharded_shading is None
+            and jax.default_backend() == "tpu"
+            and isinstance(env, DirectLightParams)
+            and incidents.shape[1] == 16)
+
+
 def render_view(params: G.GaussianParams, active: jnp.ndarray,
                 view: ViewInputs, cfg: RasterConfig, bg_color: jnp.ndarray,
                 env: DirectLightParams, vis: VisibilityCache,
@@ -265,9 +285,24 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
 
     # (Measured: jax.checkpoint around the shading chain costs MORE than
     # the saved-residual traffic here — XLA's own scheduling wins.)
-    pbr, extras = _shade_points(
-        base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
-        G.get_incidents(params), env, vis, sharded_shading)
+    incidents = G.get_incidents(params)
+    if _use_fused_shading(is_training, sharded_shading, env, incidents,
+                          vis):
+        # Fused Pallas train shading (ops/shading_pallas.py): one VMEM
+        # pass per point block instead of XLA's [P, S, 3] HBM
+        # materializations; env query stays in XLA so its params keep
+        # their autodiff chain.
+        from ..ops.shading_pallas import rendering_equation_train
+        gl = query_light(env, vis.incident_dirs)
+        pbr, dif, spec = rendering_equation_train(
+            base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
+            incidents, gl, vis.visibility, vis.incident_dirs,
+            vis.incident_areas)
+        extras = {"diffuse_light": dif, "specular": spec}
+    else:
+        pbr, extras = _shade_points(
+            base_color, roughness, jax.lax.stop_gradient(normal), viewdirs,
+            incidents, env, vis, sharded_shading)
 
     xyz1 = jnp.concatenate([params.xyz, jnp.ones_like(params.xyz[:, :1])], -1)
     depths = (xyz1 @ cam.world_view)[:, 2:3]
@@ -276,14 +311,15 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
     # `train_feature_channels`): channels no active loss reads stay out of
     # the composite walks. Eval always carries the full set + extras.
     chan_src = {
-        "depth": lambda: depths,
         "depth2": lambda: depths ** 2,
         "pbr": lambda: pbr,
         "normal": lambda: normal,
         "base_color": lambda: base_color,
         "roughness": lambda: roughness,
         "diffuse": lambda: extras["diffuse_light"],
-        "vis": lambda: extras["incident_visibility"].mean(-2),
+        # traced visibility is a cache constant — read it directly so the
+        # fused-shading path (which returns only reduced extras) works too
+        "vis": lambda: vis.visibility.mean(-2),
     }
     chans = train_feature_channels(opt if is_training else None)
     feats = [chan_src[name]() for name, _ in chans]
@@ -313,10 +349,11 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
         return sl
 
     r = {name: take(w) for name, w in chans}
+    r_depth = out.depth / jnp.maximum(out.opacity, 1e-5) * mask
 
     results = {
         "render": out.color,
-        "depth": r["depth"],
+        "depth": r_depth,
         "pseudo_normal": out.pseudo_normal,
         "surface_xyz": out.surface_xyz,
         "opacity": out.opacity,
@@ -333,7 +370,7 @@ def render_view(params: G.GaussianParams, active: jnp.ndarray,
     }
     r_pbr = r["pbr"]
     if "depth2" in r:
-        results["depth_var"] = r["depth2"] - r["depth"] ** 2
+        results["depth_var"] = r["depth2"] - r_depth ** 2
     if "normal" in r:
         results["normal"] = r["normal"]
     if "base_color" in r:
@@ -378,14 +415,19 @@ def calculate_loss(view: ViewInputs, params: G.GaussianParams,
     rendered_pbr = results["pbr"]
 
     ll1 = losses.l1_loss(rendered, gt)
-    ssim_val = losses.ssim(rendered, gt)
+    # Dual photometric SSIM (SH render + PBR render vs the same GT) as one
+    # stacked 6-channel pass: channels are independent, so per-slice means
+    # equal the two separate calls while the blur taps stream once.
+    smap = losses.ssim_map(jnp.concatenate([rendered, rendered_pbr]),
+                           jnp.concatenate([gt, gt]))
+    ssim_val = smap[:3].mean()
+    ssim_pbr = smap[3:].mean()
     tb["l1"] = ll1
     tb["psnr"] = psnr(rendered[None], gt[None]).mean()
     tb["ssim"] = ssim_val
     loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim_val)
 
     ll1_pbr = losses.l1_loss(rendered_pbr, gt)
-    ssim_pbr = losses.ssim(rendered_pbr, gt)
     tb["l1_pbr"] = ll1_pbr
     tb["ssim_pbr"] = ssim_pbr
     tb["psnr_pbr"] = psnr(rendered_pbr[None], gt[None]).mean()

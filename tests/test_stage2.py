@@ -93,9 +93,10 @@ class TestStage2:
         opt_state = init_adam(params)
         env_state = init_array_adam(env.env)
         opt = OptimizationConfig(lambda_light=0.01, lambda_env_smooth=0.01)
-        # Reference stage-2 protocol: only depth+pbr ride the train splat.
+        # Reference stage-2 protocol: only pbr rides the train splat
+        # (depth comes from the rasterizer's own channel).
         cfg = dataclasses.replace(CFG_TRAIN, feature_dim=train_feature_dim(opt))
-        assert cfg.feature_dim == 4
+        assert cfg.feature_dim == 3
         psnrs = []
         for it in range(1, 31):
             params, aux, opt_state, env, env_state, metrics = train_step(
